@@ -1,0 +1,663 @@
+"""Quantizer family: single-scale VQ, multi-scale residual VQ (MSRQ), LFQ/BSQ.
+
+Functional-parity rebuild of the reference quantizers
+(``tokenizer/tokenizer_image/quant.py`` — VectorQuantizer2,
+``xqgan_model.py:722`` — VectorQuantizer, ``lookup_free_quantize.py`` — LFQ),
+re-designed for TPU/XLA:
+
+* All quantizer math runs in float32 (matches the reference's
+  ``autocast(enabled=False)`` fencing) regardless of the surrounding bf16 step.
+* Codebook distances are a single ``(N, C) @ (C, V)`` matmul (MXU) followed by
+  an argmin/argmax; no data-dependent shapes anywhere.
+* Quantizer dropout is a per-sample mask over scales (``si < n_quantizers``),
+  never a Python branch — identical loss normalization (mask / ratio).
+* Multi-scale resizes use torch-parity matrix resizes (``ops/resize.py``), so
+  code indices match the published checkpoints.
+* Codebook-usage tracking is returned as raw per-scale hit counts; with a
+  pjit-sharded global batch the bincount already aggregates across devices
+  (the reference needed an explicit NCCL all_reduce, ``quant.py:104``).
+* Straight-through estimation via ``stop_gradient`` exactly mirrors the
+  reference's ``(f_hat.data - f_no_grad) + f`` (``quant.py:135``).
+
+Layout: NHWC (TPU-native). The reference is NCHW; converters transpose.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagefolder_tpu.ops.resize import resize
+from imagefolder_tpu.utils.torch_init import (
+    conv_bias_uniform,
+    conv_kaiming_uniform,
+    uniform_range,
+)
+
+__all__ = [
+    "Phi",
+    "MultiScaleVQ",
+    "MultiScaleLFQ",
+    "SingleVQ",
+    "QuantOut",
+    "update_usage_ema",
+    "usage_percent",
+    "phi_index",
+]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantOut:
+    """Result of a training-mode quantizer call (mirrors reference forward's
+    ``(f_hat, usages, vq_loss, commit_loss, entropy_loss)`` tuple; usage is
+    returned as raw hit counts so EMA state lives in the train loop).
+
+    Registered as a pytree so it can cross jit/pjit boundaries."""
+
+    f_hat: jnp.ndarray          # (B, H, W, C) straight-through quantized feature
+    vq_loss: jnp.ndarray        # scalar
+    commit_loss: jnp.ndarray    # scalar
+    entropy_loss: jnp.ndarray   # scalar (0 for plain VQ)
+    hits_SV: jnp.ndarray        # (S, V) this-batch codebook hit counts
+
+    def codebook_loss(self):
+        return self.vq_loss + self.commit_loss + self.entropy_loss
+
+
+def phi_index(ratio: float, num_phi: int) -> int:
+    """Reference PhiPartiallyShared.__getitem__ (quant.py:287): nearest tick.
+
+    ticks = linspace(1/3K, 1-1/3K, K) for K==4 else linspace(1/2K, 1-1/2K, K).
+    """
+    k = num_phi
+    if k == 1:
+        return 0
+    ticks = (
+        np.linspace(1 / 3 / k, 1 - 1 / 3 / k, k)
+        if k == 4
+        else np.linspace(1 / 2 / k, 1 - 1 / 2 / k, k)
+    )
+    return int(np.argmin(np.abs(ticks - ratio)))
+
+
+class Phi(nn.Module):
+    """Scale-conditioned residual conv: (1-r)*x + r*conv3x3(x) (quant.py:261)."""
+
+    embed_dim: int
+    resi_ratio: float = 0.5
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(
+            self.embed_dim,
+            (3, 3),
+            padding=1,
+            kernel_init=conv_kaiming_uniform,
+            bias_init=conv_bias_uniform(9 * self.embed_dim),
+            dtype=jnp.float32,
+        )(x)
+        r = abs(self.resi_ratio)
+        return x * (1.0 - r) + h * r
+
+
+def _n_quantizers(
+    batch: int,
+    num_scales: int,
+    codebook_drop: float,
+    dropout_n: Optional[jnp.ndarray],
+    train: bool,
+) -> jnp.ndarray:
+    """Per-sample active-scale count (quant.py:79-86). ``dropout_n`` is the
+    shared randint(start_drop, S+1) draw; only the first ``B*drop`` samples
+    adopt it."""
+    full = jnp.full((batch,), num_scales + 1, jnp.float32)
+    if not train or dropout_n is None or codebook_drop <= 0.0:
+        return full
+    n_dropout = int(batch * codebook_drop)
+    keep_mask = jnp.arange(batch) >= n_dropout
+    return jnp.where(keep_mask, full, dropout_n.astype(jnp.float32))
+
+
+def update_usage_ema(ema_SV: jnp.ndarray, hits_SV: jnp.ndarray, record_hit):
+    """EMA of codebook hits with the reference's warmup schedule
+    (quant.py:121-127): copy at step 0, decay .9 below 100 records, then .99."""
+    record_hit = jnp.asarray(record_hit)
+    decay = jnp.where(record_hit == 0, 0.0, jnp.where(record_hit < 100, 0.9, 0.99))
+    return ema_SV * decay + hits_SV * (1.0 - decay), record_hit + 1
+
+
+def usage_percent(ema_SV: jnp.ndarray, tokens_per_scale: float, vocab_size: int):
+    """Per-scale % of codes whose EMA hit count clears the reference margin
+    (quant.py:137-141): world * (numel/C) / V * 0.08. With a global (pjit)
+    batch, tokens_per_scale is already the world total."""
+    margin = tokens_per_scale / vocab_size * 0.08
+    return jnp.mean((ema_SV >= margin).astype(jnp.float32), axis=-1) * 100.0
+
+
+def _codebook_lookup(rest_NC: jnp.ndarray, codebook_VC: jnp.ndarray, znorm: bool):
+    """Nearest-code indices. znorm: cosine argmax over L2-normalized rows
+    (quant.py:93-94); else squared-L2 argmin via the |z|^2+|e|^2-2ze expansion
+    (quant.py:98-101). fp32, MXU matmul."""
+    if znorm:
+        rest = rest_NC / (jnp.linalg.norm(rest_NC, axis=-1, keepdims=True) + 1e-12)
+        cb = codebook_VC / (jnp.linalg.norm(codebook_VC, axis=-1, keepdims=True) + 1e-12)
+        sim = jnp.dot(rest, cb.T, preferred_element_type=jnp.float32)
+        return jnp.argmax(sim, axis=-1)
+    d = (
+        jnp.sum(jnp.square(rest_NC), axis=-1, keepdims=True)
+        + jnp.sum(jnp.square(codebook_VC), axis=-1)
+        - 2.0 * jnp.dot(rest_NC, codebook_VC.T, preferred_element_type=jnp.float32)
+    )
+    return jnp.argmin(d, axis=-1)
+
+
+class _PhiBank(nn.Module):
+    """Owns the shared/partially-shared/non-shared Phi convs (quant.py:29-38)."""
+
+    embed_dim: int
+    num_scales: int
+    quant_resi: float = 0.5
+    share_quant_resi: int = 4
+    default_qresi_counts: int = 0
+
+    def setup(self):
+        if abs(self.quant_resi) <= 1e-6:
+            self.phis = ()
+            return
+        if self.share_quant_resi == 0:  # non-shared
+            k = self.default_qresi_counts or self.num_scales
+        elif self.share_quant_resi == 1:  # fully shared
+            k = 1
+        else:
+            k = self.share_quant_resi
+        self.phis = tuple(Phi(self.embed_dim, self.quant_resi, name=f"phi_{i}") for i in range(k))
+
+    def apply_phi(self, si: int, num_scales: int, h):
+        if not self.phis:
+            return h
+        ratio = 0.0 if num_scales == 1 else si / (num_scales - 1)
+        return self.phis[phi_index(ratio, len(self.phis))](h)
+
+
+class MultiScaleVQ(nn.Module):
+    """Multi-scale residual vector quantizer (reference VectorQuantizer2,
+    quant.py:13). Iterates scales small->large: area-pool the residual,
+    nearest-code lookup, bicubic-upsample the code map, Phi conv, accumulate."""
+
+    vocab_size: int
+    Cvae: int
+    v_patch_nums: Sequence[int]
+    using_znorm: bool = True
+    beta: float = 0.25
+    quant_resi: float = 0.5
+    share_quant_resi: int = 4
+    default_qresi_counts: int = 0
+    num_latent_tokens: int = 256
+    codebook_drop: float = 0.0
+
+    def setup(self):
+        init = uniform_range(-1.0 / self.vocab_size, 1.0 / self.vocab_size)
+        if self.using_znorm:
+            base = init
+
+            def normed(key, shape, dtype=jnp.float32):
+                w = base(key, shape, dtype)
+                return w / (jnp.linalg.norm(w, axis=-1, keepdims=True) + 1e-12)
+
+            init = normed
+        self.codebook = self.param("codebook", init, (self.vocab_size, self.Cvae))
+        self.phi_bank = _PhiBank(
+            self.Cvae,
+            len(self.v_patch_nums),
+            self.quant_resi,
+            self.share_quant_resi,
+            self.default_qresi_counts,
+        )
+
+    # ---- shared per-scale machinery -------------------------------------
+    def _pool_residual(self, f_rest, si, pn):
+        sn = len(self.v_patch_nums)
+        h = f_rest.shape[1]
+        if si == sn - 1 and pn == h:
+            rest = f_rest
+        else:
+            rest = resize(f_rest, (pn, pn), "area")
+        return rest.reshape(-1, self.Cvae)
+
+    def _code_to_h(self, idx_N, si, pn, out_hw):
+        b = idx_N.shape[0] // (pn * pn)
+        h = jnp.take(self.codebook, idx_N, axis=0).reshape(b, pn, pn, self.Cvae)
+        if si != len(self.v_patch_nums) - 1:
+            h = resize(h, (out_hw, out_hw), "bicubic")
+        return self.phi_bank.apply_phi(si, len(self.v_patch_nums), h)
+
+    # ---- training forward (quant.py:64-144) ------------------------------
+    def __call__(self, f_BHWC, *, dropout_n=None, train: bool = False) -> QuantOut:
+        f = f_BHWC.astype(jnp.float32)
+        b, hh, ww, c = f.shape
+        sn = len(self.v_patch_nums)
+        f_no_grad = jax.lax.stop_gradient(f)
+        f_rest = f_no_grad
+        f_hat = jnp.zeros_like(f)
+
+        n_q = _n_quantizers(b, sn, self.codebook_drop, dropout_n, train)
+        vq_loss = jnp.zeros((), jnp.float32)
+        commit_loss = jnp.zeros((), jnp.float32)
+        hits = []
+        for si, pn in enumerate(self.v_patch_nums):
+            rest_nc = self._pool_residual(f_rest, si, pn)
+            idx_n = _codebook_lookup(rest_nc, self.codebook, self.using_znorm)
+            hits.append(jnp.bincount(idx_n, length=self.vocab_size).astype(jnp.float32))
+            h = self._code_to_h(idx_n, si, pn, hh)
+
+            mask = (si < n_q).astype(jnp.float32)[:, None, None, None]
+            ratio = jnp.mean(mask)
+            f_hat = f_hat + h * mask
+            f_rest = jax.lax.stop_gradient(f_rest - h)
+
+            vq_loss = vq_loss + jnp.mean(jnp.square(f_hat - f_no_grad) * mask) / ratio
+            commit_loss = commit_loss + jnp.mean(
+                jnp.square(jax.lax.stop_gradient(f_hat) - f) * mask
+            ) * (self.beta / ratio)
+
+        vq_loss = vq_loss / sn
+        # NOTE: the reference does NOT divide commit by SN here (quant.py:134)
+        # — LFQ does. Kept for parity.
+        f_hat = jax.lax.stop_gradient(f_hat) - f_no_grad + f
+        return QuantOut(
+            f_hat.astype(f_BHWC.dtype),
+            vq_loss,
+            commit_loss,
+            jnp.zeros((), jnp.float32),
+            jnp.stack(hits),
+        )
+
+    # ---- inference paths --------------------------------------------------
+    def f_to_idxBl_or_fhat(self, f_BHWC, to_fhat: bool, v_patch_nums=None):
+        """Greedy multiscale encode (quant.py:182-223). Returns per-scale
+        idx (B, pn*pn) or cumulative f_hat (B, H, W, C)."""
+        f = jax.lax.stop_gradient(f_BHWC.astype(jnp.float32))
+        b, hh, ww, c = f.shape
+        pns = tuple(v_patch_nums or self.v_patch_nums)
+        sn = len(pns)
+        f_rest, f_hat = f, jnp.zeros_like(f)
+        out = []
+        for si, pn in enumerate(pns):
+            rest_nc = (
+                f_rest if (si == sn - 1 and pn == hh) else resize(f_rest, (pn, pn), "area")
+            ).reshape(-1, c)
+            idx_n = _codebook_lookup(rest_nc, self.codebook, self.using_znorm)
+            h = jnp.take(self.codebook, idx_n, axis=0).reshape(b, pn, pn, c)
+            if si != sn - 1:
+                h = resize(h, (hh, ww), "bicubic")
+            h = self.phi_bank.apply_phi(si, sn, h)
+            f_hat = f_hat + h
+            f_rest = f_rest - h
+            out.append(f_hat if to_fhat else idx_n.reshape(b, pn * pn))
+        return out
+
+    def embed_to_fhat(self, ms_h_list, last_one: bool = False):
+        """Sum per-scale embeddings into f_hat(s) (quant.py:148-165)."""
+        hh = self.v_patch_nums[-1]
+        sn = len(self.v_patch_nums)
+        f_hat = jnp.zeros_like(ms_h_list[-1])
+        outs = []
+        for si, h in enumerate(ms_h_list):
+            if si < sn - 1:
+                h = resize(h, (hh, hh), "bicubic")
+            f_hat = f_hat + self.phi_bank.apply_phi(si, sn, h)
+            outs.append(f_hat)
+        return outs[-1] if last_one else outs
+
+    def idxBl_to_var_input(self, gt_ms_idx_Bl):
+        """Teacher-forcing input for VAR (quant.py:226-244): for each scale
+        si<SN-1, accumulate f_hat then area-pool to the NEXT scale; concat."""
+        b = gt_ms_idx_Bl[0].shape[0]
+        hh = self.v_patch_nums[-1]
+        sn = len(self.v_patch_nums)
+        f_hat = jnp.zeros((b, hh, hh, self.Cvae), jnp.float32)
+        pieces = []
+        pn_next = self.v_patch_nums[0]
+        for si in range(sn - 1):
+            idx = gt_ms_idx_Bl[si]
+            h = jnp.take(self.codebook, idx, axis=0).reshape(b, pn_next, pn_next, self.Cvae)
+            h = resize(h, (hh, hh), "bicubic")
+            f_hat = f_hat + self.phi_bank.apply_phi(si, sn, h)
+            pn_next = self.v_patch_nums[si + 1]
+            nxt = resize(f_hat, (pn_next, pn_next), "area")
+            pieces.append(nxt.reshape(b, pn_next * pn_next, self.Cvae))
+        return jnp.concatenate(pieces, axis=1) if pieces else None
+
+    def get_next_autoregressive_input(self, si: int, sn: int, f_hat, h_BHWC):
+        """One VAR decode stage (quant.py:247-258): phi(upsample(h)) added to
+        f_hat; next token map is the area-pool to the next scale."""
+        hw = self.v_patch_nums[-1]
+        if si != sn - 1:
+            h = self.phi_bank.apply_phi(si, sn, resize(h_BHWC, (hw, hw), "bicubic"))
+            f_hat = f_hat + h
+            nxt = resize(
+                f_hat, (self.v_patch_nums[si + 1], self.v_patch_nums[si + 1]), "area"
+            )
+            return f_hat, nxt
+        h = self.phi_bank.apply_phi(si, sn, h_BHWC)
+        f_hat = f_hat + h
+        return f_hat, f_hat
+
+    def embed(self, idx):
+        return jnp.take(self.codebook, idx, axis=0)
+
+
+def _entropy(probs, eps=1e-8):
+    return -jnp.sum(probs * jnp.log(probs + eps), axis=-1)
+
+
+class MultiScaleLFQ(nn.Module):
+    """Multi-scale lookup-free quantizer / BSQ (reference LFQ,
+    lookup_free_quantize.py:83). Codes are sign bits scaled by
+    ``scale**si`` (/sqrt(C) when znorm => binary spherical)."""
+
+    codebook_size: int
+    Cvae: int
+    v_patch_nums: Sequence[int]
+    using_znorm: bool = False
+    beta: float = 0.25
+    quant_resi: float = 0.5
+    share_quant_resi: int = 4
+    default_qresi_counts: int = 0
+    num_latent_tokens: int = 256
+    codebook_drop: float = 0.0
+    scale: float = 1.0
+    entropy_weight: float = 0.1
+    soft_entropy: bool = True
+    sample_minimization_weight: float = 1.0
+    batch_maximization_weight: float = 1.0
+    entropy_temperature: float = 0.01
+
+    @property
+    def vocab_size(self):
+        return 2 ** self.Cvae
+
+    def setup(self):
+        assert 2 ** self.Cvae == self.codebook_size, "LFQ vocab must be 2**Cvae"
+        self.phi_bank = _PhiBank(
+            self.Cvae,
+            len(self.v_patch_nums),
+            self.quant_resi,
+            self.share_quant_resi,
+            self.default_qresi_counts,
+        )
+
+    def scaler(self, si: int) -> float:
+        s = self.scale ** si
+        if self.using_znorm:
+            s = s / math.sqrt(self.Cvae)
+        return s
+
+    def bits_to_indices(self, bits):
+        weights = (2 ** jnp.arange(self.Cvae, dtype=jnp.int64 if self.Cvae > 31 else jnp.int32))
+        return jnp.sum(bits.astype(weights.dtype) * weights, axis=-1)
+
+    def indices_to_bits(self, idx, si: Optional[int] = None):
+        mask = 2 ** jnp.arange(self.Cvae, dtype=jnp.int32)
+        bits = (idx[..., None] & mask) != 0
+        if si is None:
+            return bits
+        s = self.scaler(si)
+        return jnp.where(bits, s, -s).astype(jnp.float32)
+
+    def _full_codebook(self):
+        idx = jnp.arange(self.vocab_size)
+        return self.indices_to_bits(idx).astype(jnp.float32) * 2.0 - 1.0
+
+    def _soft_entropy_loss(self, z, si, codebook, sample_mask):
+        """Analytical per-bit entropy + per-bit codebook entropy
+        (lookup_free_quantize.py:283-300), mask-weighted instead of the
+        reference's dynamic-shape z[mask] selection.
+
+        Intentional deviation: the reference passes ``mask.squeeze()`` as an
+        *int* tensor, so its ``z[mask]`` performs advanced indexing (gathers
+        batch rows 0/1) rather than boolean selection — an upstream bug. We
+        implement the intended semantics: masked samples are excluded by
+        weight. Parity tests compare against the reference called with a bool
+        mask."""
+        # z: (B, hw, 1, C); sample_mask: (B,)
+        w = sample_mask.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(w), 1.0)
+        p = jax.nn.sigmoid(-4.0 * z * self.scaler(si))  # (B,hw,1,C)
+        prob = jnp.stack([p, 1.0 - p], axis=-1)  # (B,hw,1,C,2)
+        ent = jnp.sum(_entropy(prob), axis=-1)  # (B,hw,1)
+        per_sample = jnp.sum(ent * w[:, None, None]) / (denom * ent.shape[1] * ent.shape[2])
+        avg_prob = jnp.sum(
+            prob * w[:, None, None, None, None], axis=(0, 1)
+        ) / (denom * prob.shape[1])  # (1,C,2) -> reduce over batch,hw
+        codebook_ent = jnp.sum(_entropy(avg_prob))
+        return per_sample, codebook_ent
+
+    def _hard_entropy_loss(self, z, codebook, sample_mask):
+        """MagViT logits-entropy (lookup_free_quantize.py:41-79), mask-weighted."""
+        logits = 2.0 * jnp.einsum("bhgc,vc->bhgv", z, codebook)
+        t = self.entropy_temperature
+        probs = jax.nn.softmax(logits / t, axis=-1)
+        log_probs = jax.nn.log_softmax(logits / t + 1e-5, axis=-1)
+        w = sample_mask.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(w), 1.0)
+        # masked_mean over batch dim then mean over remaining leading dims
+        avg_probs = jnp.sum(probs * w[:, None, None, None], axis=0) / denom
+        avg_probs = jnp.mean(avg_probs, axis=(0, 1))
+        avg_entropy = -jnp.sum(avg_probs * jnp.log(avg_probs + 1e-5))
+        sample_ent = -jnp.sum(probs * log_probs, axis=-1)
+        sample_entropy = jnp.sum(sample_ent * w[:, None, None]) / (
+            denom * sample_ent.shape[1] * sample_ent.shape[2]
+        )
+        loss = (
+            self.sample_minimization_weight * sample_entropy
+            - self.batch_maximization_weight * avg_entropy
+        )
+        return sample_entropy, avg_entropy, loss
+
+    def __call__(self, f_BHWC, *, dropout_n=None, train: bool = False) -> QuantOut:
+        f = f_BHWC.astype(jnp.float32)
+        if self.using_znorm:
+            f = f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-12)
+        b, hh, ww, c = f.shape
+        sn = len(self.v_patch_nums)
+        f_no_grad = jax.lax.stop_gradient(f)
+        f_rest = f_no_grad
+        f_hat = jnp.zeros_like(f)
+
+        n_q = _n_quantizers(b, sn, self.codebook_drop, dropout_n, train)
+        vq_loss = jnp.zeros((), jnp.float32)
+        commit_loss = jnp.zeros((), jnp.float32)
+        entropy_loss = jnp.zeros((), jnp.float32)
+        base_codebook = self._full_codebook()
+        hits = []
+        for si, pn in enumerate(self.v_patch_nums):
+            s = self.scaler(si)
+            rest = (
+                f_rest if (si == sn - 1 and pn == hh) else resize(f_rest, (pn, pn), "area")
+            )
+            bits = rest > 0
+            idx_n = self.bits_to_indices(bits.reshape(-1, c))
+            hits.append(jnp.bincount(idx_n, length=self.vocab_size).astype(jnp.float32))
+
+            h = jnp.where(bits, s, -s).astype(jnp.float32)
+            if si != sn - 1:
+                h = resize(h, (hh, ww), "bicubic")
+            h = self.phi_bank.apply_phi(si, sn, h)
+
+            # residual (with encoder grad) used by the entropy losses
+            # (lookup_free_quantize.py:197)
+            x = (f - jax.lax.stop_gradient(f_hat)).reshape(b, hh * ww, 1, c)
+
+            mask_b = (si < n_q).astype(jnp.float32)
+            mask = mask_b[:, None, None, None]
+            ratio = jnp.mean(mask)
+            f_hat = f_hat + h * mask
+            f_rest = jax.lax.stop_gradient(f_rest - h)
+
+            codebook = base_codebook * s
+            if self.soft_entropy:
+                per_sample, codebook_ent = self._soft_entropy_loss(x, si, codebook, mask_b)
+                ent_aux = (
+                    self.sample_minimization_weight * per_sample
+                    - self.batch_maximization_weight * codebook_ent
+                )
+            else:
+                _, _, ent_aux = self._hard_entropy_loss(x, codebook, mask_b)
+
+            vq_loss = vq_loss + jnp.mean(jnp.square(f_hat - f_no_grad) * mask) / ratio
+            commit_loss = commit_loss + jnp.mean(
+                jnp.square(jax.lax.stop_gradient(f_hat) - f) * mask
+            ) * (self.beta / ratio)
+            entropy_loss = entropy_loss + ent_aux * (self.entropy_weight / ratio)
+
+        vq_loss = vq_loss / sn
+        commit_loss = commit_loss / sn
+        entropy_loss = entropy_loss / sn
+        f_hat = jax.lax.stop_gradient(f_hat) - f_no_grad + f
+        return QuantOut(
+            f_hat.astype(f_BHWC.dtype), vq_loss, commit_loss, entropy_loss, jnp.stack(hits)
+        )
+
+    def f_to_idxBl_or_fhat(self, f_BHWC, to_fhat: bool, v_patch_nums=None):
+        f = jax.lax.stop_gradient(f_BHWC.astype(jnp.float32))
+        if self.using_znorm:
+            f = f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-12)
+        b, hh, ww, c = f.shape
+        pns = tuple(v_patch_nums or self.v_patch_nums)
+        sn = len(pns)
+        f_rest, f_hat = f, jnp.zeros_like(f)
+        out = []
+        for si, pn in enumerate(pns):
+            s = self.scaler(si)
+            rest = f_rest if (si == sn - 1 and pn == hh) else resize(f_rest, (pn, pn), "area")
+            bits = rest > 0
+            idx_n = self.bits_to_indices(bits.reshape(-1, c))
+            h = jnp.where(bits, s, -s).astype(jnp.float32)
+            if si != sn - 1:
+                h = resize(h, (hh, ww), "bicubic")
+            h = self.phi_bank.apply_phi(si, sn, h)
+            f_hat = f_hat + h
+            f_rest = f_rest - h
+            out.append(f_hat if to_fhat else idx_n.reshape(b, pn * pn))
+        return out
+
+    def idxBl_to_var_input(self, gt_ms_idx_Bl):
+        b = gt_ms_idx_Bl[0].shape[0]
+        hh = self.v_patch_nums[-1]
+        sn = len(self.v_patch_nums)
+        f_hat = jnp.zeros((b, hh, hh, self.Cvae), jnp.float32)
+        pieces = []
+        pn_next = self.v_patch_nums[0]
+        for si in range(sn - 1):
+            h = self.indices_to_bits(gt_ms_idx_Bl[si], si).reshape(
+                b, pn_next, pn_next, self.Cvae
+            )
+            h = resize(h, (hh, hh), "bicubic")
+            f_hat = f_hat + self.phi_bank.apply_phi(si, sn, h)
+            pn_next = self.v_patch_nums[si + 1]
+            nxt = resize(f_hat, (pn_next, pn_next), "area")
+            pieces.append(nxt.reshape(b, pn_next * pn_next, self.Cvae))
+        return jnp.concatenate(pieces, axis=1) if pieces else None
+
+    def get_next_autoregressive_input(self, si: int, sn: int, f_hat, h_BHWC):
+        hw = self.v_patch_nums[-1]
+        if si != sn - 1:
+            h = self.phi_bank.apply_phi(si, sn, resize(h_BHWC, (hw, hw), "bicubic"))
+            f_hat = f_hat + h
+            nxt = resize(
+                f_hat, (self.v_patch_nums[si + 1], self.v_patch_nums[si + 1]), "area"
+            )
+            return f_hat, nxt
+        h = self.phi_bank.apply_phi(si, sn, h_BHWC)
+        f_hat = f_hat + h
+        return f_hat, f_hat
+
+    def embed(self, idx, si: Optional[int] = None):
+        return self.indices_to_bits(idx, si if si is not None else len(self.v_patch_nums) - 1)
+
+
+class SingleVQ(nn.Module):
+    """Plain single-scale VQ used when len(v_patch_nums)==1 (reference
+    VectorQuantizer, xqgan_model.py:722). Cosine codebook when codebook_norm;
+    straight-through on the (normalized) latent."""
+
+    vocab_size: int
+    z_channels: int
+    beta: float = 0.25
+    codebook_norm: bool = True
+
+    def setup(self):
+        init = uniform_range(-1.0 / self.vocab_size, 1.0 / self.vocab_size)
+        if self.codebook_norm:
+            base = init
+
+            def normed(key, shape, dtype=jnp.float32):
+                w = base(key, shape, dtype)
+                return w / (jnp.linalg.norm(w, axis=-1, keepdims=True) + 1e-12)
+
+            init = normed
+        self.codebook = self.param("codebook", init, (self.vocab_size, self.z_channels))
+
+    def _normed_codebook(self):
+        if self.codebook_norm:
+            return self.codebook / (
+                jnp.linalg.norm(self.codebook, axis=-1, keepdims=True) + 1e-12
+            )
+        return self.codebook
+
+    def __call__(self, z_BHWC, *, dropout_n=None, train: bool = False) -> QuantOut:
+        z = z_BHWC.astype(jnp.float32)
+        if self.codebook_norm:
+            z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-12)
+        flat = z.reshape(-1, self.z_channels)
+        emb = self._normed_codebook()
+        d = (
+            jnp.sum(jnp.square(flat), axis=-1, keepdims=True)
+            + jnp.sum(jnp.square(emb), axis=-1)
+            - 2.0 * jnp.dot(flat, emb.T, preferred_element_type=jnp.float32)
+        )
+        idx = jnp.argmin(d, axis=-1)
+        hits = jnp.bincount(idx, length=self.vocab_size).astype(jnp.float32)[None]
+        z_q = jnp.take(self.codebook, idx, axis=0).reshape(z.shape)
+        if self.codebook_norm:
+            z_q = z_q / (jnp.linalg.norm(z_q, axis=-1, keepdims=True) + 1e-12)
+        commit = self.beta * jnp.mean(jnp.square(jax.lax.stop_gradient(z_q) - z))
+        vq = jnp.mean(jnp.square(z_q - jax.lax.stop_gradient(z)))
+        z_q = z + jax.lax.stop_gradient(z_q - z)
+        return QuantOut(
+            z_q.astype(z_BHWC.dtype), vq, commit, jnp.zeros((), jnp.float32), hits
+        )
+
+    def f_to_idxBl_or_fhat(self, z_BHWC, to_fhat: bool, v_patch_nums=None):
+        z = jax.lax.stop_gradient(z_BHWC.astype(jnp.float32))
+        if self.codebook_norm:
+            z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-12)
+        flat = z.reshape(-1, self.z_channels)
+        emb = self._normed_codebook()
+        d = (
+            jnp.sum(jnp.square(flat), axis=-1, keepdims=True)
+            + jnp.sum(jnp.square(emb), axis=-1)
+            - 2.0 * jnp.dot(flat, emb.T, preferred_element_type=jnp.float32)
+        )
+        idx = jnp.argmin(d, axis=-1)
+        if not to_fhat:
+            b = z.shape[0]
+            return [idx.reshape(b, -1)]
+        z_q = jnp.take(self.codebook, idx, axis=0).reshape(z.shape)
+        if self.codebook_norm:
+            z_q = z_q / (jnp.linalg.norm(z_q, axis=-1, keepdims=True) + 1e-12)
+        return [z_q]
+
+    def embed(self, idx):
+        z_q = jnp.take(self.codebook, idx, axis=0)
+        if self.codebook_norm:
+            z_q = z_q / (jnp.linalg.norm(z_q, axis=-1, keepdims=True) + 1e-12)
+        return z_q

@@ -1,0 +1,41 @@
+"""Helpers to load the read-only upstream reference (PUBLIC UNTRUSTED CODE —
+imported only to produce golden values for parity tests; never copied)."""
+
+import os
+import sys
+
+import numpy as np
+import torch
+import torch.distributed as tdist
+
+REF = "/root/reference"
+
+
+def ref_path():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    if not tdist.is_initialized():
+        os.environ.setdefault("MASTER_ADDR", "127.0.0.1")
+        os.environ.setdefault("MASTER_PORT", "29512")
+        tdist.init_process_group("gloo", rank=0, world_size=1)
+    return REF
+
+
+def t2n(x):
+    return x.detach().cpu().numpy()
+
+
+def conv_to_flax(conv):
+    """torch Conv2d (out,in,kh,kw) -> flax NHWC kernel (kh,kw,in,out) + bias."""
+    return {
+        "kernel": t2n(conv.weight).transpose(2, 3, 1, 0),
+        "bias": t2n(conv.bias),
+    }
+
+
+def nchw(x_nhwc):
+    return np.transpose(np.asarray(x_nhwc), (0, 3, 1, 2))
+
+
+def nhwc(x_nchw):
+    return np.ascontiguousarray(np.transpose(np.asarray(x_nchw), (0, 2, 3, 1)))
