@@ -1,0 +1,423 @@
+"""DINOv2-style ViT encoder/decoder with learned latent tokens.
+
+Rebuild of the reference's vendored timm ViT + latent-token wrappers
+(``tokenizer/tokenizer_image/dino_enc/vision_transformer.py`` and
+``dino_enc/dinov2.py``): the encoder appends ``num_latent_tokens`` learned
+tokens to the patch tokens and returns only those after the backbone; the
+decoder feeds mask tokens + quantized latents and unpatchifies the patch-token
+outputs via a linear ``ToPixel`` head.
+
+TPU-first: single fused qkv matmul per block, bf16-able activations with fp32
+LayerNorm, static pos-embed resampling (timm's ``resample_abs_pos_embed`` =
+antialiased-bicubic, precomputed as a matrix by ``ops/resize.py``), optional
+LoRA adapters on MLP layers (reference peft lora, ``dinov2.py:54-61``).
+
+Pretrained DINOv2/CLIP teacher weights can be imported from torch checkpoints
+via ``utils/convert_torch.py`` helpers (no network access is assumed).
+
+Reference quirks preserved (checkpoint behavior): the decoder's latent stream
+gets an extra cls token from ``_pos_embed`` (``dinov2.py:330``), so its block
+input length is ``num_img+1 + num_latent+1``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from imagefolder_tpu.ops.resize import resize
+from imagefolder_tpu.utils.torch_init import (
+    linear_kaiming_uniform,
+    trunc_normal,
+)
+
+__all__ = ["ViTBackbone", "LatentEncoder", "LatentDecoder", "ToPixel", "VIT_PRESETS"]
+
+# timm dinov2 model presets (vision_transformer.py:2895-2925)
+VIT_PRESETS = {
+    "vit_small_patch14_dinov2.lvd142m": dict(embed_dim=384, depth=12, num_heads=6),
+    "vit_base_patch14_dinov2.lvd142m": dict(embed_dim=768, depth=12, num_heads=12),
+    "vit_large_patch14_dinov2.lvd142m": dict(embed_dim=1024, depth=24, num_heads=16),
+    "vit_giant_patch14_dinov2.lvd142m": dict(embed_dim=1536, depth=40, num_heads=24),
+    "vit_base_patch16_clip_224.openai": dict(
+        embed_dim=768, depth=12, num_heads=12, init_values=None, pre_norm=True
+    ),
+}
+
+
+class LoRADense(nn.Module):
+    """Dense with optional LoRA adapter (base kernel frozen via optimizer
+    labels, see train/optim.py). y = x W + b + (x A) B * (alpha/r)."""
+
+    features: int
+    lora_rank: int = 0
+    lora_alpha: float = 8.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.features, kernel_init=linear_kaiming_uniform,
+                     dtype=self.dtype, param_dtype=jnp.float32, name="base")(x)
+        if self.lora_rank > 0:
+            a = nn.Dense(self.lora_rank, use_bias=False,
+                         kernel_init=nn.initializers.normal(0.02),
+                         dtype=self.dtype, param_dtype=jnp.float32, name="lora_a")(x)
+            b = nn.Dense(self.features, use_bias=False,
+                         kernel_init=nn.initializers.zeros,
+                         dtype=self.dtype, param_dtype=jnp.float32, name="lora_b")(a)
+            y = y + b * (self.lora_alpha / self.lora_rank)
+        return y
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    lora_rank: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = LoRADense(self.hidden, self.lora_rank, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = LoRADense(self.out, self.lora_rank, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+def _ln(name, dtype=jnp.float32):
+    # timm uses LayerNorm eps=1e-6; keep the norm math fp32
+    return nn.LayerNorm(epsilon=1e-6, dtype=dtype, param_dtype=jnp.float32, name=name)
+
+
+class Attention(nn.Module):
+    """Standard MHA (vendored vision_transformer.py:145). Fused qkv; optional
+    additive mask."""
+
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        b, n, c = x.shape
+        hd = c // self.num_heads
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias,
+                       kernel_init=linear_kaiming_uniform,
+                       dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
+        # jax.nn.dot_product_attention lowers to a fused TPU kernel
+        out = jax.nn.dot_product_attention(q, k, v, bias=mask)
+        out = out.reshape(b, n, c)
+        return nn.Dense(c, kernel_init=linear_kaiming_uniform,
+                        dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
+
+
+class Block(nn.Module):
+    num_heads: int
+    mlp_ratio: float = 4.0
+    init_values: Optional[float] = 1e-5  # LayerScale (dinov2)
+    lora_rank: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        c = x.shape[-1]
+        h = Attention(self.num_heads, dtype=self.dtype, name="attn")(
+            _ln("norm1", self.dtype)(x), mask
+        )
+        if self.init_values is not None:
+            h = h * self.param("ls1", nn.initializers.constant(self.init_values), (c,))
+        x = x + h
+        h = Mlp(int(c * self.mlp_ratio), c, self.lora_rank, self.dtype, name="mlp")(
+            _ln("norm2", self.dtype)(x)
+        )
+        if self.init_values is not None:
+            h = h * self.param("ls2", nn.initializers.constant(self.init_values), (c,))
+        return x + h
+
+
+class ToPixel(nn.Module):
+    """Linear patch->pixel head + unpatchify (dino_enc/to_pixel.py:36).
+    NHWC output."""
+
+    img_size: int = 256
+    patch_size: int = 16
+    channels: int = 3
+
+    # param path of the projection kernel (adaptive disc weight anchor,
+    # reference to_pixel.get_last_layer)
+    last_layer_param_path = ("proj", "kernel")
+
+    @nn.compact
+    def __call__(self, x):  # (B, L, D)
+        p = self.patch_size
+        hw = self.img_size // p
+        x = nn.Dense(self.channels * p * p, kernel_init=linear_kaiming_uniform,
+                     param_dtype=jnp.float32, name="proj")(x)
+        b = x.shape[0]
+        x = x.reshape(b, hw, hw, p, p, self.channels)
+        x = x.transpose(0, 1, 3, 2, 4, 5)  # b, h, p, w, q, c
+        return x.reshape(b, hw * p, hw * p, self.channels)
+
+
+class ViTBackbone(nn.Module):
+    """Patch embed + cls token + pos embed + pre-norm blocks + final norm.
+
+    ``num_extra_tokens`` appends non-image tokens (latents) AFTER pos-embed
+    handling — callers compose the sequence; this module just owns params and
+    the block stack."""
+
+    img_size: int = 256
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    init_values: Optional[float] = 1e-5
+    pre_norm: bool = False  # True for CLIP
+    lora_rank: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def grid(self):
+        return self.img_size // self.patch_size
+
+    @property
+    def num_patches(self):
+        return self.grid * self.grid
+
+    def setup(self):
+        d = self.embed_dim
+        self.patch_proj = nn.Conv(
+            d, (self.patch_size, self.patch_size),
+            strides=self.patch_size, padding=0,
+            dtype=self.dtype, param_dtype=jnp.float32, name="patch_embed",
+        )
+        self.cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, d))
+        self.pos_embed = self.param(
+            "pos_embed", trunc_normal(0.02), (1, 1 + self.num_patches, d)
+        )
+        self.blocks = [
+            Block(self.num_heads, self.mlp_ratio, self.init_values,
+                  self.lora_rank, self.dtype, name=f"block_{i}")
+            for i in range(self.depth)
+        ]
+        self.norm = _ln("norm", self.dtype)
+        if self.pre_norm:
+            self.norm_pre = _ln("norm_pre", self.dtype)
+
+    def patchify(self, img):  # NHWC -> (B, N, D)
+        x = self.patch_proj(img.astype(self.dtype))
+        b, h, w, d = x.shape
+        return x.reshape(b, h * w, d)
+
+    def resampled_pos_embed(self, grid_hw: tuple[int, int]):
+        """timm resample_abs_pos_embed parity: antialiased-bicubic resize of
+        the patch pos-embed grid; prefix (cls) entry kept as-is. fp32, static."""
+        pe = self.pos_embed.astype(jnp.float32)
+        prefix, patch = pe[:, :1], pe[:, 1:]
+        g = self.grid
+        if grid_hw == (g, g):
+            return prefix, patch
+        patch = patch.reshape(1, g, g, -1)
+        patch = resize(patch, grid_hw, "bicubic_aa")
+        return prefix, patch.reshape(1, grid_hw[0] * grid_hw[1], -1)
+
+    def pos_embed_tokens(self, x, grid_hw: Optional[tuple[int, int]] = None,
+                         keep_cls: bool = True):
+        """Reference ``model._pos_embed`` (vision_transformer.py:815-848):
+        prepend cls token, add (possibly grid-resampled) pos embed. fp32."""
+        b = x.shape[0]
+        x = x.astype(jnp.float32)
+        if grid_hw is None:
+            prefix, patch = self.pos_embed[:, :1], self.pos_embed[:, 1:]
+        else:
+            prefix, patch = self.resampled_pos_embed(grid_hw)
+        cls = jnp.broadcast_to(self.cls_token.astype(jnp.float32), (b, 1, x.shape[-1]))
+        x = jnp.concatenate([cls, x], axis=1)
+        pe = jnp.concatenate([prefix, patch], axis=1)
+        x = x + pe
+        if not keep_cls:
+            x = x[:, 1:]
+        return x
+
+    def run_blocks(self, x, mask=None):
+        x = x.astype(self.dtype)
+        if self.pre_norm:
+            x = self.norm_pre(x)
+        for blk in self.blocks:
+            x = blk(x, mask)
+        return self.norm(x)
+
+    def __call__(self, img):
+        """Plain ViT forward_features: (B,H,W,3) -> (B, 1+N, D) normed tokens."""
+        x = self.patchify(img)
+        x = self.pos_embed_tokens(x)
+        return self.run_blocks(x)
+
+
+def _backbone_kwargs(model_name: str, img_size: int, patch_size: int,
+                     lora_rank: int, dtype) -> dict:
+    preset = dict(VIT_PRESETS[model_name])
+    return dict(
+        img_size=img_size,
+        patch_size=patch_size,
+        embed_dim=preset["embed_dim"],
+        depth=preset["depth"],
+        num_heads=preset["num_heads"],
+        init_values=preset.get("init_values", 1e-5),
+        pre_norm=preset.get("pre_norm", False),
+        lora_rank=lora_rank,
+        dtype=dtype,
+    )
+
+
+class LatentEncoder(nn.Module):
+    """DINOv2Encoder parity (dino_enc/dinov2.py:18): ViT over
+    [cls, patches, latent tokens]; returns the trailing latent tokens.
+
+    abs_pos_embed: latent tokens get image-style 2D pos embeddings resampled
+    to the latent grid, plus a level embedding separating image rows from each
+    PQ branch's latent rows (dinov2.py:86-100)."""
+
+    model_name: str = "vit_base_patch14_dinov2.lvd142m"
+    img_size: int = 256
+    patch_size: int = 16
+    num_latent_tokens: int = 256  # total (already scaled by product_quant)
+    product_quant: int = 1
+    abs_pos_embed: bool = True
+    tuning_method: str = "full"  # full | frozen | lora (optimizer handles it)
+    lora_rank: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def embed_dim(self):
+        return VIT_PRESETS[self.model_name]["embed_dim"]
+
+    def setup(self):
+        if self.tuning_method not in ("full", "frozen", "lora"):
+            raise NotImplementedError(
+                f"tuning_method={self.tuning_method!r}; lat_lora is not supported yet"
+            )
+        rank = self.lora_rank if self.tuning_method == "lora" else 0
+        self.model = ViTBackbone(
+            **_backbone_kwargs(self.model_name, self.img_size, self.patch_size,
+                               rank, self.dtype), name="model",
+        )
+        d = self.embed_dim
+        self.latent_tokens = self.param(
+            "latent_tokens", nn.initializers.normal(1e-6), (1, self.num_latent_tokens, d)
+        )
+        if self.abs_pos_embed:
+            self.lvl_embed = self.param(
+                "lvl_embed", trunc_normal(math.sqrt(1 / d / 3)),
+                (1 + self.product_quant, d),
+            )
+        else:
+            self.latent_pos_embed = self.param(
+                "latent_pos_embed", trunc_normal(0.02), (1, self.num_latent_tokens, d)
+            )
+
+    def __call__(self, img):  # NHWC in [-1, 1]-normalized space
+        b = img.shape[0]
+        m = self.model
+        x = m.patchify(img)
+        x = m.pos_embed_tokens(x)  # (B, 1+N, D) fp32
+
+        z = jnp.broadcast_to(
+            self.latent_tokens.astype(jnp.float32),
+            (b, self.num_latent_tokens, self.embed_dim),
+        )
+        if self.abs_pos_embed:
+            nl = self.num_latent_tokens // self.product_quant
+            g = int(math.sqrt(nl))
+            assert g * g == nl, "num_latent_tokens/PQ must be a square"
+            pieces = [x]
+            for i in range(self.product_quant):
+                zi = z[:, i * nl:(i + 1) * nl]
+                zi = m.pos_embed_tokens(zi, grid_hw=(g, g), keep_cls=False)
+                pieces.append(zi)
+            x = jnp.concatenate(pieces, axis=1)
+            lvl_ids = jnp.concatenate(
+                [jnp.zeros((m.num_patches + 1,), jnp.int32)]
+                + [jnp.full((nl,), i + 1, jnp.int32) for i in range(self.product_quant)]
+            )
+            x = x + jnp.take(self.lvl_embed.astype(jnp.float32), lvl_ids, axis=0)[None]
+        else:
+            x = jnp.concatenate([x, z + self.latent_pos_embed.astype(jnp.float32)], axis=1)
+
+        x = m.run_blocks(x)
+        return x[:, -self.num_latent_tokens:]  # (B, nlt, D)
+
+
+class LatentDecoder(nn.Module):
+    """DINOv2Decoder parity (dino_enc/dinov2.py:201): mask tokens at image
+    positions + quantized latents; returns unpatchified pixels (NHWC)."""
+
+    model_name: str = "vit_base_patch14_dinov2.lvd142m"
+    img_size: int = 256
+    patch_size: int = 16
+    num_latent_tokens: int = 256  # per-branch (=total/product_quant)
+    abs_pos_embed: bool = True
+    to_pixel: str = "linear"
+    tuning_method: str = "full"
+    lora_rank: int = 0
+    out_channels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def embed_dim(self):
+        return VIT_PRESETS[self.model_name]["embed_dim"]
+
+    def setup(self):
+        if self.to_pixel != "linear":
+            raise NotImplementedError("only the 'linear' ToPixel head is supported")
+        rank = self.lora_rank if self.tuning_method == "lora" else 0
+        self.model = ViTBackbone(
+            **_backbone_kwargs(self.model_name, self.img_size, self.patch_size,
+                               rank, self.dtype), name="model",
+        )
+        d = self.embed_dim
+        self.mask_token = self.param("mask_token", nn.initializers.normal(1e-6), (1, 1, d))
+        if self.abs_pos_embed:
+            self.lvl_embed = self.param("lvl_embed", trunc_normal(math.sqrt(1 / d / 3)), (2, d))
+        else:
+            self.latent_pos_embed = self.param(
+                "latent_pos_embed", trunc_normal(0.02), (1, self.num_latent_tokens, d)
+            )
+        self.pixel_head = ToPixel(self.img_size, self.patch_size, self.out_channels,
+                                  name="to_pixel")
+
+    # adaptive-GAN-weight anchor (reference DINOv2Decoder.last_layer)
+    last_layer_param_path = ("to_pixel", "proj", "kernel")
+
+    def __call__(self, z):  # (B, num_latent_tokens, D)
+        b = z.shape[0]
+        m = self.model
+        x = jnp.broadcast_to(
+            self.mask_token.astype(jnp.float32), (b, m.num_patches, self.embed_dim)
+        )
+        x = m.pos_embed_tokens(x)  # (B, 1+N, D)
+        z = z.astype(jnp.float32)
+        if self.abs_pos_embed:
+            g = int(math.sqrt(self.num_latent_tokens))
+            assert g * g == self.num_latent_tokens
+            # reference quirk: cls is prepended to the latent stream and kept
+            z = m.pos_embed_tokens(z, grid_hw=(g, g), keep_cls=True)
+            x = jnp.concatenate([x, z], axis=1)
+            lvl_ids = jnp.concatenate([
+                jnp.zeros((m.num_patches + 1,), jnp.int32),
+                jnp.ones((self.num_latent_tokens + 1,), jnp.int32),
+            ])
+            x = x + jnp.take(self.lvl_embed.astype(jnp.float32), lvl_ids, axis=0)[None]
+        else:
+            z = z + self.latent_pos_embed.astype(jnp.float32)
+            x = jnp.concatenate([x, z], axis=1)
+
+        x = m.run_blocks(x)
+        x = x[:, 1:m.num_patches + 1]  # image-position outputs
+        return self.pixel_head(x)

@@ -148,12 +148,14 @@ def _codebook_lookup(rest_NC: jnp.ndarray, codebook_VC: jnp.ndarray, znorm: bool
     if znorm:
         rest = rest_NC / (jnp.linalg.norm(rest_NC, axis=-1, keepdims=True) + 1e-12)
         cb = codebook_VC / (jnp.linalg.norm(codebook_VC, axis=-1, keepdims=True) + 1e-12)
-        sim = jnp.dot(rest, cb.T, preferred_element_type=jnp.float32)
+        sim = jnp.dot(rest, cb.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         return jnp.argmax(sim, axis=-1)
     d = (
         jnp.sum(jnp.square(rest_NC), axis=-1, keepdims=True)
         + jnp.sum(jnp.square(codebook_VC), axis=-1)
-        - 2.0 * jnp.dot(rest_NC, codebook_VC.T, preferred_element_type=jnp.float32)
+        - 2.0 * jnp.dot(rest_NC, codebook_VC.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
     )
     return jnp.argmin(d, axis=-1)
 
@@ -622,7 +624,8 @@ class SingleVQ(nn.Module):
         d = (
             jnp.sum(jnp.square(flat), axis=-1, keepdims=True)
             + jnp.sum(jnp.square(emb), axis=-1)
-            - 2.0 * jnp.dot(flat, emb.T, preferred_element_type=jnp.float32)
+            - 2.0 * jnp.dot(flat, emb.T, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
         )
         idx = jnp.argmin(d, axis=-1)
         hits = jnp.bincount(idx, length=self.vocab_size).astype(jnp.float32)[None]
@@ -645,7 +648,8 @@ class SingleVQ(nn.Module):
         d = (
             jnp.sum(jnp.square(flat), axis=-1, keepdims=True)
             + jnp.sum(jnp.square(emb), axis=-1)
-            - 2.0 * jnp.dot(flat, emb.T, preferred_element_type=jnp.float32)
+            - 2.0 * jnp.dot(flat, emb.T, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
         )
         idx = jnp.argmin(d, axis=-1)
         if not to_fhat:

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,7 +76,46 @@ def _nearest_matrix(out_size: int, in_size: int) -> np.ndarray:
     return m
 
 
-_MODES = {"bicubic": _bicubic_matrix, "area": _area_matrix, "nearest": _nearest_matrix}
+_A_AA = -0.5  # antialias path uses PIL's bicubic coefficient, not -0.75
+
+
+def _cubic_kernel(x: np.ndarray, a: float = _A_AA) -> np.ndarray:
+    x = np.abs(x)
+    out = np.where(
+        x < 1.0,
+        ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0,
+        np.where(x < 2.0, ((a * x - 5.0 * a) * x + 8.0 * a) * x - 4.0 * a, 0.0),
+    )
+    return out
+
+
+def _bicubic_aa_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """torch bicubic with antialias=True (the timm resample_abs_pos_embed
+    path). PIL-style separable resampling: kernel support scaled by the
+    downsample factor, truncated integer window, weights normalized to 1."""
+    scale = in_size / out_size
+    inv = 1.0 / max(scale, 1.0)
+    support = 2.0 * max(scale, 1.0)
+    m = np.zeros((out_size, in_size), dtype=np.float64)
+    for o in range(out_size):
+        center = (o + 0.5) * scale
+        lo = max(int(center - support + 0.5), 0)
+        hi = min(int(center + support + 0.5), in_size)
+        j = np.arange(lo, hi)
+        w = _cubic_kernel((j - center + 0.5) * inv)
+        s = w.sum()
+        if s != 0:
+            w = w / s
+        m[o, lo:hi] = w
+    return m
+
+
+_MODES = {
+    "bicubic": _bicubic_matrix,
+    "bicubic_aa": _bicubic_aa_matrix,
+    "area": _area_matrix,
+    "nearest": _nearest_matrix,
+}
 
 
 @functools.lru_cache(maxsize=None)
@@ -99,6 +139,10 @@ def resize(x: jnp.ndarray, size: tuple[int, int], mode: str = "bicubic") -> jnp.
     dtype = x.dtype
     wh = jnp.asarray(resize_matrix(out_h, in_h, mode))
     ww = jnp.asarray(resize_matrix(out_w, in_w, mode))
-    y = jnp.einsum("oh,...hwc->...owc", wh, x.astype(jnp.float32))
-    y = jnp.einsum("pw,...owc->...opc", ww, y)
+    # precision=highest: TPU's default bf16 matmul would break torch parity
+    # (and hence code-index reproducibility) on the quantizer path.
+    y = jnp.einsum("oh,...hwc->...owc", wh, x.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("pw,...owc->...opc", ww, y,
+                   precision=jax.lax.Precision.HIGHEST)
     return y.astype(dtype)
