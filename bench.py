@@ -1,0 +1,92 @@
+"""Benchmark: tokenizer encode+decode throughput (images/sec/chip).
+
+This is the BASELINE.json north-star metric: the VQ-4096-class tokenizer
+(DINOv2-ViT-B encoder/decoder, 256px, 16x16 latent) running greedy
+encode -> quantize -> decode on one chip, bf16 activations with fp32
+quantizer math.
+
+vs_baseline: ratio against the PyTorch reference pipeline's estimated
+throughput on an A100-class GPU (the reference publishes no throughput;
+we use 300 img/s as a generous estimate for torch bf16 ViT-B enc+dec at
+256px including the python-side multiscale loop). The north-star asks for
+>= 5x at rFID parity, i.e. vs_baseline >= 5.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+TORCH_REFERENCE_IMG_PER_SEC = 300.0  # documented estimate, see module docstring
+BATCH = 32
+ITERS = 20
+
+
+def _timed(fn, *args):
+    t0 = time.time()
+    float(fn(*args))  # scalar readback forces device completion
+    return time.time() - t0
+
+
+def main():
+    from imagefolder_tpu.models.tokenizer import ModelArgs, VQModel
+
+    margs = ModelArgs(
+        codebook_size=4096,
+        codebook_embed_dim=64,
+        v_patch_nums=(16,),
+        enc_type="dinov2",
+        dec_type="dinov2",
+        encoder_model="vit_base_patch14_dinov2.lvd142m",
+        decoder_model="vit_base_patch14_dinov2.lvd142m",
+        semantic_guide="none",
+        detail_guide="none",
+        num_latent_tokens=256,
+        abs_pos_embed=True,
+        image_size=256,
+        dtype_str="bfloat16",
+    )
+    model = VQModel(margs)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (BATCH, 256, 256, 3), minval=-1, maxval=1)
+    variables = jax.jit(lambda k, xx: model.init(k, xx, train=False))(key, x)
+
+    def recon(v, xx):
+        return model.apply(v, xx, method=VQModel.img_to_reconstructed_img)
+
+    # NOTE on methodology: the axon-tunneled TPU backend does NOT block in
+    # block_until_ready(), and per-call host readback pays ~100ms RPC
+    # latency. We therefore chain ITERS data-dependent recon passes inside
+    # ONE jitted program and read back a scalar; per-iteration time is the
+    # difference between the long and short chains.
+    def chained(n):
+        @jax.jit
+        def fn(v, xx):
+            out = jax.lax.fori_loop(
+                0, n, lambda i, img: recon(v, img), xx)
+            return out[0, 0, 0, 0]
+
+        return fn
+
+    short, long_ = chained(1), chained(1 + ITERS)
+    float(short(variables, x))  # compile
+    float(long_(variables, x))
+
+    t1 = min(_timed(short, variables, x) for _ in range(3))
+    t2 = min(_timed(long_, variables, x) for _ in range(3))
+    dt = max(t2 - t1, 1e-9) / ITERS
+    img_per_sec = BATCH / dt
+
+    print(json.dumps({
+        "metric": "tokenizer_encode_decode_images_per_sec_per_chip",
+        "value": round(img_per_sec, 2),
+        "unit": "img/s/chip (VQ-4096 ViT-B enc+dec, 256px, bf16, B=32)",
+        "vs_baseline": round(img_per_sec / TORCH_REFERENCE_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""ImageNet-folder input pipeline (collapses the reference's three data
+packages — ``dataset/``, ``datasets/``, ``data/`` — into one layer).
+
+ImageFolder-style class discovery, ADM center/random crop (exact parity with
+``dataset/augmentation.py``), horizontal flip, [-1, 1] normalization, grain
+multiprocess loading with host-overlapped device prefetch (replacing the
+reference's CUDA-stream PrefetchLoader, ``datasets/prefetcher.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+__all__ = [
+    "center_crop_arr", "random_crop_arr", "list_image_folder",
+    "ImageFolderSource", "make_dataloader", "device_prefetch",
+]
+
+_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp", ".JPEG", ".JPG", ".PNG"}
+
+
+def center_crop_arr(pil_image: Image.Image, image_size: int) -> np.ndarray:
+    """ADM center crop (dataset/augmentation.py:8-28)."""
+    while min(*pil_image.size) >= 2 * image_size:
+        pil_image = pil_image.resize(
+            tuple(x // 2 for x in pil_image.size), resample=Image.BOX)
+    scale = image_size / min(*pil_image.size)
+    pil_image = pil_image.resize(
+        tuple(round(x * scale) for x in pil_image.size), resample=Image.BICUBIC)
+    arr = np.array(pil_image)
+    cy = (arr.shape[0] - image_size) // 2
+    cx = (arr.shape[1] - image_size) // 2
+    return arr[cy:cy + image_size, cx:cx + image_size]
+
+
+def random_crop_arr(pil_image: Image.Image, image_size: int,
+                    rng: np.random.Generator,
+                    min_crop_frac=0.8, max_crop_frac=1.0) -> np.ndarray:
+    """ADM random crop (dataset/augmentation.py:31-60)."""
+    min_s = math.ceil(image_size / max_crop_frac)
+    max_s = math.ceil(image_size / min_crop_frac)
+    smaller = int(rng.integers(min_s, max_s + 1))
+    while min(*pil_image.size) >= 2 * smaller:
+        pil_image = pil_image.resize(
+            tuple(x // 2 for x in pil_image.size), resample=Image.BOX)
+    scale = smaller / min(*pil_image.size)
+    pil_image = pil_image.resize(
+        tuple(round(x * scale) for x in pil_image.size), resample=Image.BICUBIC)
+    arr = np.array(pil_image)
+    cy = int(rng.integers(arr.shape[0] - image_size + 1))
+    cx = int(rng.integers(arr.shape[1] - image_size + 1))
+    return arr[cy:cy + image_size, cx:cx + image_size]
+
+
+def list_image_folder(root: str) -> Tuple[List[str], List[int], List[str]]:
+    """torchvision-ImageFolder-compatible scan: class dirs sorted
+    lexicographically -> class ids."""
+    rootp = Path(root)
+    classes = sorted(d.name for d in rootp.iterdir() if d.is_dir())
+    files, labels = [], []
+    for ci, cname in enumerate(classes):
+        for f in sorted((rootp / cname).rglob("*")):
+            if f.suffix in _EXTS:
+                files.append(str(f))
+                labels.append(ci)
+    return files, labels, classes
+
+
+@dataclasses.dataclass
+class ImageFolderSource:
+    """grain RandomAccessDataSource over an image folder."""
+
+    files: Sequence[str]
+    labels: Sequence[int]
+    image_size: int = 256
+    train: bool = True
+    hflip: bool = True
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx: int):
+        img = Image.open(self.files[idx]).convert("RGB")
+        rng = np.random.default_rng((hash(self.files[idx]) ^ idx) & 0x7FFFFFFF)
+        if self.train:
+            arr = random_crop_arr(img, self.image_size, rng)
+            if self.hflip and rng.random() < 0.5:
+                arr = arr[:, ::-1]
+        else:
+            arr = center_crop_arr(img, self.image_size)
+        x = arr.astype(np.float32) / 255.0 * 2.0 - 1.0  # [-1, 1], HWC
+        return {"image": np.ascontiguousarray(x),
+                "label": np.int32(self.labels[idx])}
+
+
+def make_dataloader(root: str, batch_size: int, image_size: int = 256, *,
+                    train: bool = True, seed: int = 0, num_workers: int = 8,
+                    num_epochs: Optional[int] = None, shard_index: int = 0,
+                    shard_count: int = 1, drop_remainder: bool = True):
+    """grain DataLoader over an ImageFolder tree: shuffled, sharded across
+    hosts, worker-parallel decode (reference DataLoader+DistributedSampler,
+    xqgan_train.py:232-247)."""
+    import grain.python as grain
+
+    files, labels, _ = list_image_folder(root)
+    source = ImageFolderSource(files, labels, image_size, train)
+    sampler = grain.IndexSampler(
+        num_records=len(source),
+        shuffle=train,
+        seed=seed,
+        num_epochs=num_epochs,
+        shard_options=grain.ShardOptions(shard_index, shard_count,
+                                         drop_remainder=True),
+    )
+    return grain.DataLoader(
+        data_source=source,
+        sampler=sampler,
+        operations=[grain.Batch(batch_size, drop_remainder=drop_remainder)],
+        worker_count=num_workers,
+    )
+
+
+def device_prefetch(it: Iterator, size: int = 2):
+    """Host->device prefetch: keep `size` batches in flight (replaces the
+    reference's CUDA-stream prefetcher)."""
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        queue.append(jax.device_put(batch))
+
+    it = iter(it)
+    try:
+        for _ in range(size):
+            put(next(it))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            put(next(it))
+        except StopIteration:
+            pass
+        yield out

@@ -1,0 +1,215 @@
+"""InceptionV3 feature extractor for FID/sFID/IS (flax, NHWC).
+
+Architecture-exact rebuild of the FID-standard InceptionV3 (the pytorch-fid
+port of the OpenAI TF1 ``classify_image_graph_def.pb`` used by the reference
+``evaluator.py:587-629``): BasicConv2d = conv + BN(eps=1e-3) + relu, the FID
+variants of blocks A/C/E (count_include_pad=False average pooling; E_2 uses
+max-pool in the pool branch), 2048-d pool3 features, 1008-way logits for IS,
+and the first 7 channels of the Mixed_6e map as "spatial" features for sFID.
+
+Weights load from a pytorch-fid checkpoint via ``convert_inception_checkpoint``
+(no network access needed at runtime).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["InceptionV3", "convert_inception_checkpoint"]
+
+
+class BasicConv2d(nn.Module):
+    out: int
+    kernel: tuple
+    stride: int = 1
+    padding: tuple = (0, 0)
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.out, self.kernel, strides=self.stride,
+                    padding=[(p, p) for p in self.padding], use_bias=False,
+                    name="conv")(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                         momentum=0.9, name="bn")(x)
+        return nn.relu(x)
+
+
+def _avg_pool3(x):
+    """3x3 s1 avg pool, count_include_pad=False (FID blocks)."""
+    ones = jnp.ones_like(x[..., :1])
+    s = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+    c = nn.avg_pool(ones, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+    return s / c
+
+
+class InceptionA(nn.Module):
+    pool_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        b1 = BasicConv2d(64, (1, 1), name="branch1x1")(x)
+        b5 = BasicConv2d(48, (1, 1), name="branch5x5_1")(x)
+        b5 = BasicConv2d(64, (5, 5), padding=(2, 2), name="branch5x5_2")(b5)
+        b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
+        b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(b3)
+        b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_3")(b3)
+        bp = BasicConv2d(self.pool_features, (1, 1), name="branch_pool")(_avg_pool3(x))
+        return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+class InceptionB(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = BasicConv2d(384, (3, 3), stride=2, name="branch3x3")(x)
+        bd = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(bd)
+        bd = BasicConv2d(96, (3, 3), stride=2, name="branch3x3dbl_3")(bd)
+        bp = nn.max_pool(x, (3, 3), strides=(2, 2))
+        return jnp.concatenate([b3, bd, bp], axis=-1)
+
+
+class InceptionC(nn.Module):
+    c7: int
+
+    @nn.compact
+    def __call__(self, x):
+        c7 = self.c7
+        b1 = BasicConv2d(192, (1, 1), name="branch1x1")(x)
+        b7 = BasicConv2d(c7, (1, 1), name="branch7x7_1")(x)
+        b7 = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7_3")(b7)
+        bd = BasicConv2d(c7, (1, 1), name="branch7x7dbl_1")(x)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_2")(bd)
+        bd = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3")(bd)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4")(bd)
+        bd = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5")(bd)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool")(_avg_pool3(x))
+        return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+class InceptionD(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = BasicConv2d(192, (1, 1), name="branch3x3_1")(x)
+        b3 = BasicConv2d(320, (3, 3), stride=2, name="branch3x3_2")(b3)
+        b7 = BasicConv2d(192, (1, 1), name="branch7x7x3_1")(x)
+        b7 = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7x3_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7x3_3")(b7)
+        b7 = BasicConv2d(192, (3, 3), stride=2, name="branch7x7x3_4")(b7)
+        bp = nn.max_pool(x, (3, 3), strides=(2, 2))
+        return jnp.concatenate([b3, b7, bp], axis=-1)
+
+
+class InceptionE(nn.Module):
+    use_max_pool: bool = False  # E_2 (last block) uses max pool (pytorch-fid)
+
+    @nn.compact
+    def __call__(self, x):
+        b1 = BasicConv2d(320, (1, 1), name="branch1x1")(x)
+        b3 = BasicConv2d(384, (1, 1), name="branch3x3_1")(x)
+        b3a = BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3_2a")(b3)
+        b3b = BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3_2b")(b3)
+        b3 = jnp.concatenate([b3a, b3b], axis=-1)
+        bd = BasicConv2d(448, (1, 1), name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(384, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(bd)
+        bda = BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3dbl_3a")(bd)
+        bdb = BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3dbl_3b")(bd)
+        bd = jnp.concatenate([bda, bdb], axis=-1)
+        if self.use_max_pool:
+            bp = nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        else:
+            bp = _avg_pool3(x)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
+        return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+class InceptionV3(nn.Module):
+    """Input: NHWC float in [0, 1] at any size; resized (bilinear, like
+    pytorch-fid) to 299 and scaled to [-1, 1]. Returns dict with pool3
+    (N, 2048), spatial (N, 7*17*17) and logits (N, 1008)."""
+
+    num_classes: int = 1008
+
+    @nn.compact
+    def __call__(self, x01):
+        x = jax.image.resize(
+            x01, (x01.shape[0], 299, 299, x01.shape[-1]), "bilinear")
+        x = x * 2.0 - 1.0
+        x = BasicConv2d(32, (3, 3), stride=2, name="Conv2d_1a_3x3")(x)
+        x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
+        x = BasicConv2d(64, (3, 3), padding=(1, 1), name="Conv2d_2b_3x3")(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
+        x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = InceptionA(32, name="Mixed_5b")(x)
+        x = InceptionA(64, name="Mixed_5c")(x)
+        x = InceptionA(64, name="Mixed_5d")(x)
+        x = InceptionB(name="Mixed_6a")(x)
+        x = InceptionC(128, name="Mixed_6b")(x)
+        x = InceptionC(160, name="Mixed_6c")(x)
+        x = InceptionC(160, name="Mixed_6d")(x)
+        x = InceptionC(192, name="Mixed_6e")(x)
+        spatial = x[..., :7]  # sFID features: first 7 channels @ 17x17
+        x = InceptionD(name="Mixed_7a")(x)
+        x = InceptionE(name="Mixed_7b")(x)
+        x = InceptionE(use_max_pool=True, name="Mixed_7c")(x)
+        pool3 = jnp.mean(x, axis=(1, 2))  # adaptive avg pool -> (N, 2048)
+        logits = nn.Dense(self.num_classes, name="fc")(pool3)
+        b = spatial.shape[0]
+        return {
+            "pool3": pool3,
+            "spatial": spatial.transpose(0, 3, 1, 2).reshape(b, -1),
+            "softmax": jax.nn.softmax(logits, axis=-1),
+        }
+
+
+def convert_inception_checkpoint(sd: Mapping) -> dict:
+    """pytorch-fid InceptionV3 state dict -> flax {params, batch_stats}."""
+
+    def _np(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, leaf):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = leaf
+
+    for key, v in sd.items():
+        parts = key.split(".")
+        if parts[0] == "fc":
+            if parts[1] == "weight":
+                put(params, ("fc", "kernel"), _np(v).T)
+            else:
+                put(params, ("fc", "bias"), _np(v))
+            continue
+        block, rest = parts[0], parts[1:]
+        # e.g. Mixed_5b.branch1x1.conv.weight / .bn.{weight,bias,running_*}
+        if rest[0] == "conv" or (len(rest) >= 2 and rest[-2] == "conv"):
+            sub = rest[:-2]
+            leaf = rest[-1]
+            if leaf == "weight":
+                put(params, (block, *sub, "conv", "kernel"),
+                    _np(v).transpose(2, 3, 1, 0))
+        elif "bn" in rest:
+            i = rest.index("bn")
+            sub = rest[:i]
+            leaf = rest[-1]
+            if leaf == "weight":
+                put(params, (block, *sub, "bn", "scale"), _np(v))
+            elif leaf == "bias":
+                put(params, (block, *sub, "bn", "bias"), _np(v))
+            elif leaf == "running_mean":
+                put(stats, (block, *sub, "bn", "mean"), _np(v))
+            elif leaf == "running_var":
+                put(stats, (block, *sub, "bn", "var"), _np(v))
+    return {"params": params, "batch_stats": stats}

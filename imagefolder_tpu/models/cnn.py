@@ -164,7 +164,7 @@ class Decoder(nn.Module):
     last_layer_param_path = ("conv_out", "kernel")
 
     @nn.compact
-    def __call__(self, z, *, train: bool = False):
+    def __call__(self, z, *, train: bool = False, return_prelast: bool = False):
         num_res = len(self.ch_mult)
         h = _conv(self.ch * self.ch_mult[-1], name="conv_in", dtype=self.dtype)(
             z.astype(self.dtype)
@@ -183,4 +183,10 @@ class Decoder(nn.Module):
                 h = Upsample(self.dtype, name=f"up_{list_idx}")(h)
         h = _Norm(self.dtype, name="norm_out")(h)
         h = swish(h)
-        return _conv(self.out_channels, name="conv_out", dtype=self.dtype)(h)
+        out = _conv(self.out_channels, name="conv_out", dtype=self.dtype)(h)
+        if return_prelast:
+            # pre-last activation for the adaptive-GAN-weight vjp (the
+            # reference differentiates w.r.t. decoder.last_layer,
+            # vq_loss.py:153); see train.tokenizer_train.apply_last_layer
+            return out, h
+        return out

@@ -1,0 +1,360 @@
+"""RAR: randomized autoregressive next-token generator (reference
+``RAR/rar.py``).
+
+1-D AR transformer over 256 image tokens with:
+* randomized permutation training — per-sample raster-or-random order with
+  shuffled positional + target-aware positional embeddings (rar.py:340-371);
+* AdaLN-zero blocks conditioned on class token + per-step timestep embedding;
+* causal masking; KV-cache CFG sampling with a cosine-pow guidance schedule
+  (rar.py:428-452).
+
+TPU-first:
+* shuffling is a gather by order indices (no python-side permutation);
+* decoding preallocates full-length KV caches per block and runs the 256
+  steps in one ``lax.fori_loop`` — a single compiled executable, no
+  per-step dispatch;
+* all shapes static; the causal mask inside decode is an index comparison.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagefolder_tpu.utils.torch_init import linear_kaiming_uniform, trunc_normal
+
+__all__ = ["RARConfig", "RAR", "rar_generate", "ar_loss"]
+
+
+@dataclasses.dataclass
+class RARConfig:
+    embed_dim: int = 768
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    image_seq_len: int = 256
+    codebook_size: int = 4096
+    condition_num_classes: int = 1000
+    dropout: float = 0.1
+    attn_dropout: float = 0.1
+    dtype_str: str = "float32"
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.dtype_str == "bfloat16" else jnp.float32
+
+    @property
+    def none_condition_id(self):
+        return self.condition_num_classes + self.codebook_size + 1
+
+    @property
+    def vocab(self):
+        # [0, V-1] image tokens; V mask token; [V+1, V+nclass] classes;
+        # V+1+nclass class-drop label (rar.py:324-328)
+        return self.codebook_size + 1 + self.condition_num_classes + 1
+
+
+class RARAttention(nn.Module):
+    """rar.py:56-118: fused qkv, qk-norm (LayerNorm on head_dim), KV cache."""
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, cache=None, cache_index=None):
+        b, n, c = x.shape
+        hd = c // self.num_heads
+        qkv = nn.Dense(3 * c, kernel_init=linear_kaiming_uniform,
+                       dtype=self.dtype, param_dtype=jnp.float32,
+                       name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                                       param_dtype=jnp.float32, name=name)
+        q = ln("q_norm")(q.astype(jnp.float32)).astype(self.dtype)
+        k = ln("k_norm")(k.astype(jnp.float32)).astype(self.dtype)
+        new_cache = None
+        if cache is not None:
+            ck, cv = cache  # (B, Lmax, H, hd)
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                              (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                              (0, cache_index, 0, 0))
+            new_cache = (ck, cv)
+            k, v = ck, cv
+            # mask out not-yet-written positions
+            lmax = ck.shape[1]
+            valid = jnp.arange(lmax) < (cache_index + n)
+            mask = jnp.where(valid, 0.0, -jnp.inf)[None, None, None, :]
+        out = jax.nn.dot_product_attention(
+            q, k.astype(q.dtype), v.astype(q.dtype),
+            bias=None if mask is None else mask.astype(jnp.float32))
+        out = out.reshape(b, n, c)
+        out = nn.Dense(c, kernel_init=linear_kaiming_uniform, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="proj")(out)
+        return out, new_cache
+
+
+class RARBlock(nn.Module):
+    """AdaLN-zero block (rar.py:138-183)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c, mask=None, cache=None, cache_index=None):
+        dim = x.shape[-1]
+        ada = nn.Dense(6 * dim, kernel_init=nn.initializers.zeros,
+                       param_dtype=jnp.float32, name="adaLN")(
+            nn.silu(c.astype(jnp.float32)))
+        sh1, sc1, g1, sh2, sc2, g2 = jnp.split(ada, 6, axis=-1)
+        ln1 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")
+        ln2 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")
+        h = ln1(x.astype(jnp.float32)) * (1 + sc1) + sh1
+        attn_out, new_cache = RARAttention(self.num_heads, self.dtype,
+                                           name="attn")(
+            h.astype(self.dtype), mask, cache, cache_index)
+        x = x.astype(jnp.float32) + g1 * attn_out.astype(jnp.float32)
+        h = ln2(x) * (1 + sc2) + sh2
+        h = nn.Dense(int(dim * self.mlp_ratio),
+                     kernel_init=linear_kaiming_uniform, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc1")(h.astype(self.dtype))
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(dim, kernel_init=linear_kaiming_uniform, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc2")(h)
+        x = x + g2 * h.astype(jnp.float32)
+        return x.astype(self.dtype), new_cache
+
+
+def _shuffle(x, orders):
+    """Gather rows by per-sample order (rar.py:289-293)."""
+    return jnp.take_along_axis(
+        x, orders[..., None] if x.ndim == 3 else orders, axis=1)
+
+
+class RAR(nn.Module):
+    config: RARConfig
+
+    def setup(self):
+        cfg = self.config
+        d = cfg.embed_dim
+        self.cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, d))
+        self.embeddings = self.param("embeddings", trunc_normal(0.02),
+                                     (cfg.vocab, d))
+        self.pos_embed = self.param("pos_embed", trunc_normal(0.02),
+                                    (1, cfg.image_seq_len + 1024, d))
+        self.target_aware_pos_embed = self.param(
+            "target_aware_pos_embed", trunc_normal(0.02),
+            (1, cfg.image_seq_len + 1024, d))
+        self.timesteps_embeddings = self.param(
+            "timesteps_embeddings", trunc_normal(0.02),
+            (1, cfg.image_seq_len + 100, d))
+        self.blocks = [RARBlock(cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
+                                name=f"block_{i}") for i in range(cfg.depth)]
+        self.final_ada = nn.Dense(2 * d, kernel_init=nn.initializers.zeros,
+                                  param_dtype=jnp.float32, name="final_ada")
+        self.final_norm = nn.LayerNorm(epsilon=1e-6, use_bias=False,
+                                       use_scale=False, name="final_norm")
+        self.lm_head = nn.Dense(cfg.codebook_size,
+                                kernel_init=linear_kaiming_uniform,
+                                param_dtype=jnp.float32, name="lm_head")
+
+    def preprocess_condition(self, condition, key=None, cond_drop_prob=0.0):
+        """class id -> condition-token id with optional drop (rar.py:303-308)."""
+        cfg = self.config
+        cond = condition + cfg.codebook_size + 1
+        if cond_drop_prob > 0 and key is not None:
+            drop = jax.random.uniform(key, cond.shape) < cond_drop_prob
+            cond = jnp.where(drop, cfg.none_condition_id, cond)
+        return cond
+
+    def sample_orders(self, key, batch, random_ratio):
+        """Per-sample raster-or-random order (rar.py:266-279)."""
+        cfg = self.config
+        k1, k2 = jax.random.split(key)
+        rand_orders = jax.vmap(
+            lambda k: jax.random.permutation(k, cfg.image_seq_len)
+        )(jax.random.split(k2, batch))
+        raster = jnp.broadcast_to(jnp.arange(cfg.image_seq_len),
+                                  (batch, cfg.image_seq_len))
+        use_rand = jax.random.uniform(k1, (batch, 1)) < random_ratio
+        return jnp.where(use_rand, rand_orders, raster)
+
+    def _final_head(self, x, cond_token):
+        a = self.final_ada(nn.silu(cond_token.astype(jnp.float32)))
+        scale, shift = jnp.split(a, 2, axis=-1)
+        x = self.final_norm(x.astype(jnp.float32)) * (1 + scale) + shift
+        return self.lm_head(x)
+
+    def __call__(self, input_ids, condition, orders=None):
+        """Training forward (rar.py:319-405): returns (logits, shuffled labels).
+        logits (B, 1+L, V) over [cond, tok_0..tok_{L-1}] positions."""
+        cfg = self.config
+        b, l = input_ids.shape
+        if orders is None:
+            orders = jnp.broadcast_to(jnp.arange(l), (b, l))
+        labels = _shuffle(input_ids, orders)
+
+        tok_emb = jnp.take(self.embeddings, input_ids, axis=0)
+        cond_emb = jnp.take(self.embeddings, condition.reshape(b, 1), axis=0)
+        condition_token = cond_emb[:, 0]
+
+        prefix = 2
+        pe = jnp.broadcast_to(self.pos_embed,
+                              (b,) + self.pos_embed.shape[1:])
+        pe_prefix = pe[:, :prefix]
+        pe_post = _shuffle(pe[:, prefix:prefix + l], orders)
+        ta = jnp.broadcast_to(self.target_aware_pos_embed,
+                              (b,) + self.target_aware_pos_embed.shape[1:])
+        ta_post = _shuffle(ta[:, prefix:prefix + l], orders)
+
+        x = jnp.concatenate([cond_emb, _shuffle(tok_emb, orders)], axis=1)
+        cls = jnp.broadcast_to(self.cls_token, (b, 1, cfg.embed_dim))
+        x = jnp.concatenate([cls, x], axis=1)  # (B, 2+L, D)
+        x = x + jnp.concatenate([pe_prefix, pe_post], axis=1)
+        ta_full = jnp.concatenate(
+            [jnp.zeros_like(x[:, :prefix - 1]), ta_post,
+             jnp.zeros_like(x[:, -1:])], axis=1)
+        x = x + ta_full
+
+        n = x.shape[1]
+        causal = jnp.where(
+            jnp.arange(n)[:, None] >= jnp.arange(n)[None, :], 0.0, -jnp.inf
+        )[None, None]
+        cond_token = condition_token[:, None] + self.timesteps_embeddings[:, :n]
+
+        x = x.astype(cfg.dtype)
+        for blk in self.blocks:
+            x, _ = blk(x, cond_token, mask=causal)
+        x = x[:, prefix - 1:]
+        cond_token = cond_token[:, prefix - 1:]
+        logits = self._final_head(x, cond_token)
+        return logits, labels
+
+    # --------------------------- decode pieces --------------------------- #
+    def decode_step(self, x_tokens, cond_token, caches, cache_index):
+        """Run blocks on new token(s) with KV caches; returns (logits, caches)."""
+        x = x_tokens.astype(self.config.dtype)
+        new_caches = []
+        for blk, cache in zip(self.blocks, caches):
+            x, nc = blk(x, cond_token, mask=None, cache=cache,
+                        cache_index=cache_index)
+            new_caches.append(nc)
+        return self._final_head(x, cond_token), new_caches
+
+    def embed_prefill(self, condition):
+        """[cls, cond] input embeddings for decode (positions 0..1)."""
+        cfg = self.config
+        b = condition.shape[0]
+        cond_emb = jnp.take(self.embeddings, condition.reshape(b, 1), axis=0)
+        cls = jnp.broadcast_to(self.cls_token, (b, 1, cfg.embed_dim))
+        x = jnp.concatenate([cls, cond_emb], axis=1)
+        x = x + self.pos_embed[:, :2]
+        # cond (index 1) carries the target-aware pe of image position 0
+        ta = jnp.concatenate(
+            [jnp.zeros_like(self.target_aware_pos_embed[:, :1]),
+             self.target_aware_pos_embed[:, 2:3]], axis=1)
+        x = x + ta
+        cond_token = cond_emb + self.timesteps_embeddings[:, :2][:, -1:]
+        # per-position condition tokens for the two prefill positions
+        cond_tok2 = cond_emb[:, 0][:, None] + self.timesteps_embeddings[:, :2]
+        return x, cond_tok2
+
+    def embed_decode_token(self, tok, i):
+        """Input embedding for image token i during decode (raster order)."""
+        emb = jnp.take(self.embeddings, tok[:, None], axis=0)
+        pe = jax.lax.dynamic_slice_in_dim(self.pos_embed, 2 + i, 1, axis=1)
+        ta = jax.lax.dynamic_slice_in_dim(
+            self.target_aware_pos_embed, 2 + i + 1, 1, axis=1)
+        last = i == self.config.image_seq_len - 1
+        ta = jnp.where(last, 0.0, ta)
+        return emb + pe + ta
+
+    def decode_cond_token(self, condition, i):
+        """Condition token at decode position 2+i (timestep embedding)."""
+        b = condition.shape[0]
+        cond_emb = jnp.take(self.embeddings, condition.reshape(b, 1), axis=0)
+        ts = jax.lax.dynamic_slice_in_dim(
+            self.timesteps_embeddings, 2 + i, 1, axis=1)
+        return cond_emb + ts
+
+
+def ar_loss(logits, labels):
+    """Reference ARLoss (RAR/modules/losses.py:376-390): drop the last
+    position, CE against shuffled labels + token accuracy."""
+    shift = logits[:, :-1]
+    logp = jax.nn.log_softmax(shift, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    loss = jnp.mean(nll)
+    acc = jnp.mean((jnp.argmax(shift, axis=-1) == labels).astype(jnp.float32))
+    return loss, acc
+
+
+def rar_generate(rar: RAR, params, condition, key, *, guidance_scale: float,
+                 randomize_temperature: float, guidance_scale_pow: float,
+                 cache_dtype=jnp.float32):
+    """KV-cached CFG sampling (rar.py:408-456) as one lax.fori_loop —
+    jit the whole call. Returns (B, image_seq_len) token ids."""
+    cfg = rar.config
+    b = condition.shape[0]
+    cond = rar.apply({"params": params}, condition,
+                     method=RAR.preprocess_condition)
+    use_cfg = guidance_scale != 0
+    if use_cfg:
+        cond_full = jnp.concatenate(
+            [cond, jnp.full_like(cond, cfg.none_condition_id)])
+    else:
+        cond_full = cond
+    bb = cond_full.shape[0]
+    lmax = cfg.image_seq_len + 2
+    hd = cfg.embed_dim // cfg.num_heads
+    caches = [(jnp.zeros((bb, lmax, cfg.num_heads, hd), cache_dtype),
+               jnp.zeros((bb, lmax, cfg.num_heads, hd), cache_dtype))
+              for _ in range(cfg.depth)]
+
+    # prefill [cls, cond]
+    x0, cond_tok0 = rar.apply({"params": params}, cond_full,
+                              method=RAR.embed_prefill)
+    logits, caches = rar.apply({"params": params}, x0, cond_tok0, caches, 0,
+                               method=RAR.decode_step)
+    logits = logits[:, -1]
+
+    def cfg_mix(lg, step):
+        scale_step = (1 - jnp.cos(
+            ((step / cfg.image_seq_len) ** guidance_scale_pow) * jnp.pi)) * 0.5
+        s = (guidance_scale - 1) * scale_step + 1
+        cond_lg, uncond_lg = lg[:b], lg[b:]
+        return uncond_lg + (cond_lg - uncond_lg) * s
+
+    def body(i, carry):
+        caches, logits, ids, k = carry
+        k, ks = jax.random.split(k)
+        lg = cfg_mix(logits, i) if use_cfg else logits
+        tok = jax.random.categorical(ks, lg / randomize_temperature, axis=-1)
+        ids = jax.lax.dynamic_update_index_in_dim(ids, tok, i, axis=1)
+        tok_in = jnp.concatenate([tok, tok]) if use_cfg else tok
+        x = rar.apply({"params": params}, tok_in, i,
+                      method=RAR.embed_decode_token)
+        ct = rar.apply({"params": params}, cond_full, i,
+                       method=RAR.decode_cond_token)
+        logits, caches = rar.apply({"params": params}, x, ct, caches, i + 2,
+                                   method=RAR.decode_step)
+        return caches, logits[:, -1], ids, k
+
+    ids0 = jnp.zeros((b, cfg.image_seq_len), jnp.int32)
+    carry = (caches, logits, ids0, key)
+    # steps 0..L-2 feed the sampled token back; final step L-1 only samples
+    caches, logits, ids, key = jax.lax.fori_loop(
+        0, cfg.image_seq_len - 1, body, carry)
+    last_step = cfg.image_seq_len - 1
+    lg = cfg_mix(logits, last_step) if use_cfg else logits
+    key, ks = jax.random.split(key)
+    tok = jax.random.categorical(ks, lg / randomize_temperature, axis=-1)
+    ids = jax.lax.dynamic_update_index_in_dim(ids, tok, last_step, axis=1)
+    return ids

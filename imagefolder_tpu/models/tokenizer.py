@@ -131,6 +131,7 @@ class TokenizerOut:
     detail_loss: jnp.ndarray
     dependency_loss: jnp.ndarray
     hits_PSV: jnp.ndarray                  # (P, S, V) codebook hits
+    pre_last: Optional[jnp.ndarray] = None  # decoder pre-last activation (train)
 
     def codebook_loss(self):
         """Matches reference loss composition (vq_loss.py:193-196)."""
@@ -280,14 +281,17 @@ class VQModel(nn.Module):
         g = self.grid
         return h.reshape(b, cfg.product_quant, g, g, cfg.codebook_embed_dim)
 
-    def decode(self, quant) -> jnp.ndarray:
-        """Concatenated quantized latents (B, g, g, P*C) -> image NHWC [-1,1]."""
+    def decode(self, quant, return_prelast: bool = False) -> jnp.ndarray:
+        """Concatenated quantized latents (B, g, g, P*C) -> image NHWC [-1,1].
+
+        return_prelast additionally yields the pre-last-layer activation used
+        by the adaptive disc weight (train.tokenizer_train.apply_last_layer)."""
         cfg = self.config
         q = self.post_quant_conv(quant)
         if cfg.dec_type == "cnn":
-            return self.decoder(q)
+            return self.decoder(q, return_prelast=return_prelast)
         b, g1, g2, d = q.shape
-        return self.decoder(q.reshape(b, g1 * g2, d))
+        return self.decoder(q.reshape(b, g1 * g2, d), return_prelast=return_prelast)
 
     # ---------------------------- training ---------------------------- #
     def __call__(self, x, *, epoch=0, alpha: float = 0.0, beta: float = 0.0,
@@ -330,15 +334,18 @@ class VQModel(nn.Module):
             if cfg.perturb_delta_max > 0 and rng is not None and train:
                 rng, k = jax.random.split(rng)
                 codebook = self.quantizers[0].codebook
-                delta = max(int(cfg.perturb_delta_max * delta_ratio), 1)
                 quant_list[0] = add_perturbation(
                     h_P[:, 0], quant_list[0], codebook,
-                    alpha=alpha, beta=beta, delta=delta, key=k,
+                    alpha=alpha, beta=beta, delta=cfg.perturb_delta_max,
+                    delta_eff=delta_ratio * cfg.perturb_delta_max, key=k,
                     codebook_norm=cfg.codebook_l2_norm,
                 )
 
         quant = jnp.concatenate(quant_list, axis=-1)  # (B, g, g, P*C)
-        dec = self.decode(quant)
+        if train:
+            dec, pre_last = self.decode(quant, return_prelast=True)
+        else:
+            dec, pre_last = self.decode(quant), None
 
         sem_loss = jnp.zeros((), jnp.float32)
         detail_loss = jnp.zeros((), jnp.float32)
@@ -377,7 +384,7 @@ class VQModel(nn.Module):
             dec=dec, vq_loss=vq_loss, commit_loss=commit_loss,
             entropy_loss=entropy_loss, sem_loss=sem_loss,
             detail_loss=detail_loss, dependency_loss=dependency_loss,
-            hits_PSV=hits,
+            hits_PSV=hits, pre_last=pre_last,
         )
 
     def _guide_loss(self, feat_t, feat_q, scale, epoch):

@@ -395,7 +395,7 @@ class LatentDecoder(nn.Module):
     # adaptive-GAN-weight anchor (reference DINOv2Decoder.last_layer)
     last_layer_param_path = ("to_pixel", "proj", "kernel")
 
-    def __call__(self, z):  # (B, num_latent_tokens, D)
+    def __call__(self, z, *, train: bool = False, return_prelast: bool = False):  # (B, nlt, D)
         b = z.shape[0]
         m = self.model
         x = jnp.broadcast_to(
@@ -420,4 +420,7 @@ class LatentDecoder(nn.Module):
 
         x = m.run_blocks(x)
         x = x[:, 1:m.num_patches + 1]  # image-position outputs
-        return self.pixel_head(x)
+        out = self.pixel_head(x)
+        if return_prelast:
+            return out, x
+        return out

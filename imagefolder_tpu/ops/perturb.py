@@ -23,14 +23,20 @@ def add_perturbation(
     z_q_BHWC: jnp.ndarray,
     codebook_VC: jnp.ndarray,
     *,
-    alpha: float,
-    beta: float,
+    alpha,
+    beta,
     delta: int,
     key: jax.Array,
     codebook_norm: bool = True,
+    delta_eff=None,
 ) -> jnp.ndarray:
-    if delta <= 0 or beta <= 0.0:
+    """``delta`` is the static top-k budget (config value); ``alpha``/``beta``
+    and the annealed effective ``delta_eff`` may be traced scalars, so the
+    per-epoch RobustTok annealing (xqgan_train.py:429-432) never recompiles."""
+    if delta <= 0:
         return z_q_BHWC
+    if delta_eff is None:
+        delta_eff = delta
     b, h, w, c = z_BHWC.shape
     z = z_BHWC.astype(jnp.float32)
     if codebook_norm:
@@ -50,7 +56,8 @@ def add_perturbation(
     k_prob, k_idx = jax.random.split(key)
     n = flat.shape[0]
     rand_prob = jax.random.uniform(k_prob, (n,))
-    rand_idx = jax.random.randint(k_idx, (n,), 0, delta)
+    d_eff = jnp.clip(jnp.asarray(delta_eff, jnp.float32), 1.0, float(delta))
+    rand_idx = jnp.floor(jax.random.uniform(k_idx, (n,)) * d_eff).astype(jnp.int32)
     rand_idx = jnp.where(rand_prob > alpha, 0, rand_idx)
     chosen = jnp.take_along_axis(top_idx, rand_idx[:, None], axis=1)[:, 0]
 
@@ -60,6 +67,6 @@ def add_perturbation(
     pq = pq.reshape(z.shape)
     pq = z + jax.lax.stop_gradient(pq - z)
 
-    n_pert = int(b * beta)
+    n_pert = jnp.floor(b * jnp.asarray(beta, jnp.float32))
     mask = (jnp.arange(b) < n_pert)[:, None, None, None]
     return jnp.where(mask, pq.astype(z_q_BHWC.dtype), z_q_BHWC)

@@ -1,0 +1,173 @@
+"""Optimizers, schedules, and parameter-group labeling.
+
+Covers the reference's three optimizer recipes:
+* tokenizer: AdamW + timm cosine schedule w/ warmup + min_lr, lr scaled by
+  global_batch/128 (xqgan_train.py:338-373)
+* VAR: AdamW(0.9, 0.95) + lr_wd_annealing warmup/{cos,lin,exp} schedules with
+  per-group decay filtering (utils/lr_control.py)
+* RAR: AdamW + cosine with end_lr (utils/train_utils.py:194-250)
+
+Freezing (teachers, LoRA bases, tuning_method='frozen') is expressed as
+optax.multi_transform labels — params stay in the tree (checkpoint-compatible)
+but receive zero updates.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = [
+    "cosine_with_warmup",
+    "lr_wd_annealing",
+    "adamw_with_freezing",
+    "tokenizer_frozen_predicate",
+    "disc_frozen_predicate",
+    "no_decay_predicate",
+    "ema_update",
+]
+
+
+def cosine_with_warmup(base_lr: float, warmup_steps: int, total_steps: int,
+                       min_lr: float = 5e-5):
+    """timm create_scheduler('cosine') parity: linear warmup then cosine to
+    min_lr (xqgan_train.py:344-366)."""
+    warmup_steps = max(warmup_steps, 1)
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * step / warmup_steps
+        prog = jnp.clip((step - warmup_steps) / max(total_steps - warmup_steps, 1), 0, 1)
+        cos = min_lr + 0.5 * (base_lr - min_lr) * (1 + jnp.cos(jnp.pi * prog))
+        return jnp.where(step < warmup_steps, warm, cos)
+
+    return sched
+
+
+def lr_wd_annealing(sched_type: str, peak_lr: float, wp_steps: float,
+                    max_steps: int, final_lr_ratio: float = 0.0):
+    """Reference lr_wd_annealing schedule family (utils/lr_control.py:10-68).
+    Returns lr(step). wp warmup is linear from peak/wp_steps."""
+
+    def sched(step):
+        g = jnp.asarray(step, jnp.float32)
+        wp = max(wp_steps, 1.0)
+        warm = (g + 1) / wp
+        pasd = jnp.clip((g - wp) / max(max_steps - 1 - wp, 1), 0.0, 1.0)
+        if sched_type == "cos":
+            rest = final_lr_ratio + (1 - final_lr_ratio) * (0.5 + 0.5 * jnp.cos(jnp.pi * pasd))
+        elif sched_type == "lin":
+            t = 0.15
+            rest = jnp.where(pasd < t, 1.0,
+                             final_lr_ratio + (1 - final_lr_ratio) * (1 - pasd) / (1 - t))
+        elif sched_type == "lin0":
+            t = 0.05
+            rest = jnp.where(pasd < t, 1.0,
+                             final_lr_ratio + (1 - final_lr_ratio) * (1 - pasd) / (1 - t))
+        elif sched_type == "lin00":
+            rest = final_lr_ratio + (1 - final_lr_ratio) * (1 - pasd)
+        elif sched_type == "exp":
+            t = 0.15
+            w = jnp.clip((pasd - t) / (1 - t), 0.0, 1.0)
+            rest = jnp.exp(jnp.log(jnp.maximum(final_lr_ratio, 1e-5)) * w)
+        else:  # constant
+            rest = jnp.ones(())
+        return peak_lr * jnp.where(g < wp, warm, rest)
+
+    return sched
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def tokenizer_frozen_predicate(cfg) -> Callable[[str], bool]:
+    """Which generator params get no updates: frozen teachers always; encoder/
+    decoder trunks under 'frozen'/'lora' tuning (reference peft freezing,
+    dinov2.py:54-79: lora trains only adapters + final norm)."""
+
+    def frozen(path: str) -> bool:
+        if path.startswith(("semantic_model/", "detail_model/")):
+            return True
+        for part, method in (("encoder/", cfg.enc_tuning_method),
+                             ("decoder/", cfg.dec_tuning_method)):
+            if path.startswith(part):
+                if method == "frozen":
+                    return True
+                if method == "lora":
+                    trainable = (
+                        "lora_a" in path or "lora_b" in path
+                        or re.search(r"/model/norm/", path) is not None
+                        or not path.startswith(part + "model/")  # latent tokens etc.
+                    )
+                    return not trainable
+        return False
+
+    return frozen
+
+
+def disc_frozen_predicate(path: str) -> bool:
+    """DinoDisc trunk is frozen (discriminator_dino.py:316-317)."""
+    return path.startswith("dino/")
+
+
+def no_decay_predicate(path: str) -> bool:
+    """Reference filter_params (utils/lr_control.py:71-108): no weight decay
+    for biases, norms, embeddings/codebooks, tokens, scales."""
+    leaf = path.rsplit("/", 1)[-1]
+    return (
+        leaf in {"bias", "scale", "codebook", "cls_token", "pos_embed",
+                 "latent_tokens", "latent_pos_embed", "mask_token", "lvl_embed",
+                 "ls1", "ls2", "pos_start", "pos_1LC", "class_emb", "empty_emb",
+                 "scale_mul"}
+        or "norm" in path.rsplit("/", 2)[-2:][0].lower()
+    )
+
+
+def adamw_with_freezing(
+    lr_schedule,
+    *,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    frozen_fn: Optional[Callable[[str], bool]] = None,
+    grad_clip: float = 0.0,
+    eps: float = 1e-8,
+):
+    """AdamW where decay skips no-decay groups and frozen params get zero
+    updates. Labels are derived from param paths."""
+
+    def label_tree(params):
+        def label(path, _):
+            p = _path_str(path)
+            if frozen_fn is not None and frozen_fn(p):
+                return "frozen"
+            return "nodecay" if no_decay_predicate(p) else "default"
+
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    def make(decay):
+        chain = []
+        if grad_clip > 0:
+            chain.append(optax.clip_by_global_norm(grad_clip))
+        chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+        if decay:
+            chain.append(optax.add_decayed_weights(decay))
+        chain.append(optax.scale_by_learning_rate(lr_schedule))
+        return optax.chain(*chain)
+
+    tx = optax.multi_transform(
+        {"default": make(weight_decay), "nodecay": make(0.0),
+         "frozen": optax.set_to_zero()},
+        label_tree,
+    )
+    return tx
+
+
+def ema_update(ema_params, params, decay: float = 0.9999):
+    """Reference update_ema (utils/ema.py:5-14) over the full param tree."""
+    return jax.tree.map(lambda e, p: e * decay + p * (1.0 - decay), ema_params, params)

@@ -1,0 +1,341 @@
+"""Tokenizer (XQ-GAN) training: one jitted step = generator + discriminator
+updates (reference loop ``xqgan_train.py:439-475`` + ``vq_loss.py:161-261``).
+
+TPU-first:
+* Both optimizer passes live in a single compiled step; the discriminator
+  sees ``stop_gradient`` reconstructions (the reference's ``.detach()``).
+* The adaptive disc weight (grad-norm ratio at the decoder last layer,
+  vq_loss.py:153-159) is computed with one ``jax.vjp`` through a
+  last-layer-only recompute — no second full decoder backward like torch.
+* LeCam EMA, codebook-usage EMA, and SpectralNorm power-iteration vectors are
+  explicit state fields (the reference hides them in module attrs/buffers).
+* RobustTok annealing (alpha/delta ratio) and epoch are traced scalars — no
+  per-epoch recompiles.
+* Data parallelism: call ``train_step`` under pjit/jit with the batch sharded
+  on the mesh 'data' axis and state replicated; all reductions (losses,
+  codebook hit counts) are global-batch semantics already, so XLA inserts the
+  ICI collectives (no NCCL-style hand-written allreduce, cf. quant.py:104).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import flax.core
+import jax
+import jax.numpy as jnp
+import optax
+
+from imagefolder_tpu.losses.diffaug import diff_aug
+from imagefolder_tpu.losses.discriminators import (
+    DinoDisc,
+    PatchGANDiscriminator,
+    StyleGANDiscriminator,
+)
+from imagefolder_tpu.losses.gan import (
+    D_LOSSES,
+    G_LOSSES,
+    LeCamState,
+    adaptive_disc_weight,
+    adopt_weight,
+    lecam_reg,
+    lecam_update,
+)
+from imagefolder_tpu.losses.lpips import LPIPS
+from imagefolder_tpu.models.tokenizer import ModelArgs, VQModel
+from imagefolder_tpu.ops.quantize import update_usage_ema, usage_percent
+from imagefolder_tpu.train.optim import (
+    adamw_with_freezing,
+    cosine_with_warmup,
+    disc_frozen_predicate,
+    ema_update,
+    tokenizer_frozen_predicate,
+)
+
+__all__ = ["TokenizerTrainConfig", "TokenizerTrainState", "TokenizerTrainer"]
+
+
+@dataclasses.dataclass
+class TokenizerTrainConfig:
+    """Training hyperparameters (reference xqgan_train.py argparse defaults +
+    configs/*.yaml keys)."""
+
+    lr: float = 1e-4
+    disc_lr: float = 1e-4
+    global_batch_size: int = 128
+    epochs: int = 40
+    steps_per_epoch: int = 1000
+    lr_scheduler: str = "cosine"  # 'none' | 'cosine'
+    min_lr: float = 5e-5
+    beta1: float = 0.9
+    beta2: float = 0.95
+    weight_decay: float = 5e-2
+    disc_weight_decay: float = 5e-2
+    max_grad_norm: float = 1.0
+
+    rec_weight: float = 1.0
+    rec_loss: str = "l2"
+    perceptual_weight: float = 1.0
+    codebook_weight: float = 1.0
+    disc_weight: float = 0.5
+    disc_start: int = 0          # in steps (derived from disc_epoch_start)
+    disc_type: str = "dinodisc"
+    disc_loss: str = "hinge"
+    gen_loss: str = "hinge"
+    disc_adaptive_weight: bool = False
+    lecam_loss_weight: Optional[float] = None
+    aug_prob: float = 1.0
+    aug_cutout: float = 0.2
+    ema: bool = True
+    ema_decay: float = 0.9999
+    image_size: int = 256
+    dino_depth: int = 12  # DinoDisc trunk depth (reduced in tests)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TokenizerTrainState:
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    lpips_params: Any           # frozen
+    disc_params: Any
+    disc_vars: Any              # spectral-norm u vectors / BN running stats
+    disc_opt_state: Any
+    lecam: LeCamState
+    usage_ema: jnp.ndarray      # (P, S, V)
+    record_hit: jnp.ndarray
+    step: jnp.ndarray
+
+
+def _last_layer_apply(model_cfg: ModelArgs, dec_params, pre_last, w_last):
+    """Recompute decoder output from pre-last activation with an overridden
+    last-layer kernel (for the adaptive-weight vjp)."""
+    if model_cfg.dec_type == "cnn":
+        b = dec_params["conv_out"]["bias"]
+        dn = jax.lax.conv_dimension_numbers(
+            pre_last.shape, w_last.shape, ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            pre_last.astype(jnp.float32), w_last.astype(jnp.float32), (1, 1),
+            [(1, 1), (1, 1)], dimension_numbers=dn) + b
+    # vit: ToPixel dense + unpatchify
+    b = dec_params["to_pixel"]["proj"]["bias"]
+    x = pre_last.astype(jnp.float32) @ w_last + b
+    n = x.shape[0]
+    p = 16
+    hw = model_cfg.image_size // p
+    x = x.reshape(n, hw, hw, p, p, 3).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, hw * p, hw * p, 3)
+
+
+def _last_layer_kernel(model_cfg: ModelArgs, dec_params):
+    if model_cfg.dec_type == "cnn":
+        return dec_params["conv_out"]["kernel"]
+    return dec_params["to_pixel"]["proj"]["kernel"]
+
+
+class TokenizerTrainer:
+    """Builds models/optimizers and exposes pure init/train_step functions."""
+
+    def __init__(self, model_cfg: ModelArgs, tcfg: TokenizerTrainConfig):
+        self.model_cfg = model_cfg
+        self.tcfg = tcfg
+        self.model = VQModel(model_cfg)
+        self.lpips = LPIPS()
+        if tcfg.disc_type == "dinodisc":
+            self.disc = DinoDisc(depth=tcfg.dino_depth)
+        elif tcfg.disc_type == "patchgan":
+            self.disc = PatchGANDiscriminator()
+        elif tcfg.disc_type == "stylegan":
+            self.disc = StyleGANDiscriminator(image_size=tcfg.image_size)
+        else:
+            raise ValueError(f"unknown disc_type {tcfg.disc_type!r}")
+
+        total = tcfg.epochs * tcfg.steps_per_epoch
+        if tcfg.lr_scheduler == "cosine":
+            g_sched = cosine_with_warmup(tcfg.lr, tcfg.steps_per_epoch, total, tcfg.min_lr)
+            d_sched = cosine_with_warmup(
+                tcfg.disc_lr, int(0.02 * tcfg.epochs) * tcfg.steps_per_epoch,
+                total - tcfg.disc_start, tcfg.min_lr)
+        else:
+            g_sched, d_sched = (lambda s: tcfg.lr), (lambda s: tcfg.disc_lr)
+        self.gen_tx = adamw_with_freezing(
+            g_sched, weight_decay=tcfg.weight_decay, b1=tcfg.beta1, b2=tcfg.beta2,
+            frozen_fn=tokenizer_frozen_predicate(model_cfg),
+            grad_clip=tcfg.max_grad_norm)
+        self.disc_tx = adamw_with_freezing(
+            d_sched, weight_decay=tcfg.disc_weight_decay, b1=tcfg.beta1,
+            b2=tcfg.beta2, frozen_fn=disc_frozen_predicate,
+            grad_clip=tcfg.max_grad_norm)
+        self.d_loss = D_LOSSES[tcfg.disc_loss]
+        self.g_loss = G_LOSSES[tcfg.gen_loss]
+
+    # ------------------------------------------------------------------ #
+    def init(self, rng, sample_imgs) -> TokenizerTrainState:
+        k1, k2, k3 = jax.random.split(rng, 3)
+        variables = self.model.init(k1, sample_imgs, train=False)
+        params = variables["params"]
+        lpips_params = self.lpips.init(k2, sample_imgs, sample_imgs)["params"]
+        disc_variables = self.disc.init(k3, sample_imgs, train=False)
+        disc_params = disc_variables["params"]
+        disc_vars = {k: v for k, v in disc_variables.items() if k != "params"}
+        cfg = self.model_cfg
+        p = cfg.product_quant
+        s = len(cfg.v_patch_nums)
+        v = cfg.codebook_size
+        return TokenizerTrainState(
+            params=params,
+            opt_state=self.gen_tx.init(params),
+            ema_params=jax.tree.map(jnp.copy, params) if self.tcfg.ema else None,
+            lpips_params=lpips_params,
+            disc_params=disc_params,
+            disc_vars=flax.core.freeze(disc_vars).unfreeze(),
+            disc_opt_state=self.disc_tx.init(disc_params),
+            lecam=LeCamState.init(),
+            usage_ema=jnp.zeros((p, s, v)),
+            record_hit=jnp.zeros((), jnp.int32),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------ #
+    def _disc_apply(self, disc_params, disc_vars, imgs, rng, update_stats):
+        variables = {"params": disc_params, **disc_vars}
+        mutable = list(disc_vars.keys()) if update_stats else False
+        kwargs = {}
+        if isinstance(self.disc, DinoDisc):
+            kwargs = dict(rng=rng, train=update_stats)
+        else:
+            kwargs = dict(train=update_stats)
+        if mutable:
+            out, new_vars = self.disc.apply(variables, imgs, mutable=mutable, **kwargs)
+            return out, dict(new_vars)
+        # immutable path still needs mutable for BN/spectral in train mode:
+        out, _ = self.disc.apply(variables, imgs, mutable=list(disc_vars.keys()),
+                                 **kwargs)
+        return out, disc_vars
+
+    def _aug(self, imgs, key, fade_blur: float):
+        if isinstance(self.disc, DinoDisc):
+            return diff_aug(imgs, key, self.tcfg.aug_prob, self.tcfg.aug_cutout,
+                            fade_blur)
+        return imgs
+
+    @partial(jax.jit, static_argnums=(0,), static_argnames=("fade_blur",))
+    def train_step(self, state: TokenizerTrainState, imgs, rng, *, epoch=0,
+                   alpha=0.0, beta=0.0, delta_ratio=1.0, fade_blur: float = 0.0):
+        tcfg = self.tcfg
+        mcfg = self.model_cfg
+        k_model, k_aug_g, k_aug_f, k_aug_r, k_disc = jax.random.split(rng, 5)
+        step = state.step
+
+        disc_w = adopt_weight(tcfg.disc_weight, step + 1, tcfg.disc_start)
+
+        # ---------------- generator ---------------- #
+        def gen_loss_fn(params):
+            out = self.model.apply(
+                {"params": params}, imgs, train=True, rng=k_model, epoch=epoch,
+                alpha=alpha, beta=beta, delta_ratio=delta_ratio)
+            dec = out.dec.astype(jnp.float32)
+            rec = jnp.mean(jnp.square(imgs - dec)) if tcfg.rec_loss == "l2" \
+                else jnp.mean(jnp.abs(imgs - dec))
+            perc = jnp.mean(self.lpips.apply({"params": state.lpips_params}, imgs, dec))
+            fake_aug = self._aug(dec, k_aug_g, fade_blur)
+            logits_fake, _ = self._disc_apply(
+                jax.lax.stop_gradient(state.disc_params), state.disc_vars,
+                fake_aug, k_disc, update_stats=False)
+            g_adv = self.g_loss(logits_fake)
+            nll = tcfg.rec_weight * rec + tcfg.perceptual_weight * perc
+
+            if tcfg.disc_adaptive_weight:
+                dec_params = jax.lax.stop_gradient(params["decoder"])
+                pre_sg = jax.lax.stop_gradient(out.pre_last)
+
+                def head(w_last):
+                    d = _last_layer_apply(mcfg, dec_params, pre_sg, w_last)
+                    r = jnp.mean(jnp.square(imgs - d)) if tcfg.rec_loss == "l2" \
+                        else jnp.mean(jnp.abs(imgs - d))
+                    pl = jnp.mean(self.lpips.apply(
+                        {"params": state.lpips_params}, imgs, d))
+                    lf, _ = self._disc_apply(
+                        jax.lax.stop_gradient(state.disc_params), state.disc_vars,
+                        self._aug(d, k_aug_g, fade_blur), k_disc, update_stats=False)
+                    return (tcfg.rec_weight * r + tcfg.perceptual_weight * pl,
+                            self.g_loss(lf))
+
+                w0 = jax.lax.stop_gradient(_last_layer_kernel(mcfg, dec_params))
+                _, vjp = jax.vjp(head, w0)
+                (g_nll,) = vjp((jnp.ones(()), jnp.zeros(())))
+                (g_g,) = vjp((jnp.zeros(()), jnp.ones(())))
+                d_weight = adaptive_disc_weight(g_nll, g_g)
+            else:
+                d_weight = jnp.ones(())
+
+            loss = (nll + d_weight * disc_w * g_adv
+                    + tcfg.codebook_weight * (out.vq_loss + out.commit_loss
+                                              + out.entropy_loss)
+                    + out.sem_loss + out.detail_loss + out.dependency_loss)
+            aux = dict(rec_loss=rec, perceptual_loss=perc, gen_adv_loss=g_adv,
+                       vq_loss=out.vq_loss, commit_loss=out.commit_loss,
+                       entropy_loss=out.entropy_loss, sem_loss=out.sem_loss,
+                       detail_loss=out.detail_loss,
+                       dependency_loss=out.dependency_loss,
+                       disc_adaptive_weight=d_weight, hits=out.hits_PSV,
+                       dec=jax.lax.stop_gradient(dec))
+            return loss, aux
+
+        (gen_loss, aux), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+            state.params)
+        updates, new_opt = self.gen_tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = (ema_update(state.ema_params, new_params, tcfg.ema_decay)
+                   if state.ema_params is not None else None)
+
+        # ---------------- discriminator ---------------- #
+        dec_sg = aux.pop("dec")
+
+        def disc_loss_fn(disc_params):
+            fake = self._aug(dec_sg, k_aug_f, fade_blur)
+            real = self._aug(imgs, k_aug_r, fade_blur)
+            logits_fake, dv1 = self._disc_apply(disc_params, state.disc_vars,
+                                                fake, k_disc, update_stats=True)
+            logits_real, dv2 = self._disc_apply(disc_params, dv1, real, k_disc,
+                                                update_stats=True)
+            base = self.d_loss(logits_real, logits_fake)
+            if tcfg.lecam_loss_weight:
+                new_lecam = lecam_update(state.lecam, logits_real, logits_fake)
+                reg = lecam_reg(logits_real, logits_fake, state.lecam)
+                d_loss = disc_w * (reg * tcfg.lecam_loss_weight + base)
+            else:
+                new_lecam = state.lecam
+                d_loss = disc_w * base
+            return d_loss, (dv2, new_lecam, jnp.mean(logits_real),
+                            jnp.mean(logits_fake))
+
+        (d_loss, (new_disc_vars, new_lecam, lr_m, lf_m)), d_grads = \
+            jax.value_and_grad(disc_loss_fn, has_aux=True)(state.disc_params)
+        d_updates, new_disc_opt = self.disc_tx.update(
+            d_grads, state.disc_opt_state, state.disc_params)
+        new_disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        # ---------------- bookkeeping ---------------- #
+        hits = aux.pop("hits")  # (P,S,V); global under pjit
+        new_usage, new_record = update_usage_ema(
+            state.usage_ema, hits, state.record_hit)
+        tokens_per_scale = float(
+            imgs.shape[0] * self.model_cfg.num_latent_tokens)
+        usage = jnp.mean(usage_percent(
+            new_usage, tokens_per_scale, self.model_cfg.codebook_size))
+
+        metrics = dict(aux, gen_loss=gen_loss, disc_loss=d_loss,
+                       logits_real=lr_m, logits_fake=lf_m,
+                       codebook_usage=usage, disc_weight=disc_w)
+
+        new_state = TokenizerTrainState(
+            params=new_params, opt_state=new_opt, ema_params=new_ema,
+            lpips_params=state.lpips_params, disc_params=new_disc_params,
+            disc_vars=new_disc_vars, disc_opt_state=new_disc_opt,
+            lecam=new_lecam, usage_ema=new_usage, record_hit=new_record,
+            step=step + 1)
+        return new_state, metrics

@@ -1,0 +1,232 @@
+"""VAR training + CFG sampling (reference ``trainer.py``, ``train.py``,
+``inference.py``, ``models/__init__.py:build_vae_var``).
+
+Train step: frozen tokenizer encodes the image to per-branch multiscale
+indices -> teacher-forcing input -> VAR logits -> per-PQ-branch CE averaged
+(trainer.py:122-147). Sampling: 10-stage KV-cached CFG decode fully unrolled
+under one jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from imagefolder_tpu.models.tokenizer import ModelArgs, VQModel
+from imagefolder_tpu.models.var import VAR, VARConfig
+from imagefolder_tpu.ops.sampling import sample_with_top_k_top_p
+from imagefolder_tpu.train.optim import (
+    adamw_with_freezing,
+    ema_update,
+    lr_wd_annealing,
+    no_decay_predicate,
+)
+
+__all__ = ["build_vae_var", "VARTrainConfig", "VARTrainState", "VARTrainer",
+           "var_sample"]
+
+
+def build_vae_var(model_args: ModelArgs, depth: int = 16, *,
+                  shared_aln: bool = False, attn_l2_norm: bool = True,
+                  cond_drop_rate: float = 0.1, num_classes: int = 1000,
+                  dtype_str: str = "float32"):
+    """Factory parity with reference models/__init__.py:14-65:
+    width = 64*depth, heads = depth, drop_path = 0.1 * depth/24."""
+    vae = VQModel(model_args)
+    var_cfg = VARConfig(
+        vocab_size=model_args.codebook_size * model_args.product_quant,
+        Cvae=model_args.codebook_embed_dim * model_args.product_quant,
+        product_quant=model_args.product_quant,
+        num_classes=num_classes,
+        depth=depth, embed_dim=depth * 64, num_heads=depth,
+        shared_aln=shared_aln, attn_l2_norm=attn_l2_norm,
+        cond_drop_rate=cond_drop_rate,
+        drop_path_rate=0.1 * depth / 24,
+        patch_nums=tuple(model_args.v_patch_nums),
+        dtype_str=dtype_str,
+    )
+    return vae, VAR(var_cfg)
+
+
+@dataclasses.dataclass
+class VARTrainConfig:
+    """Reference utils/arg_util.py defaults (tblr-scaled lr, AdamW(0.9,0.95),
+    cos schedule, grad clip 2)."""
+
+    lr: float = 1e-4
+    weight_decay: float = 0.05
+    beta1: float = 0.9
+    beta2: float = 0.95
+    grad_clip: float = 2.0
+    sched: str = "lin0"
+    warmup_steps: int = 1000
+    total_steps: int = 100_000
+    final_lr_ratio: float = 0.1
+    label_smooth: float = 0.0
+    p_drop_factor: float = 0.0
+    ema: bool = False
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class VARTrainState:
+    params: Any
+    opt_state: Any
+    vae_params: Any   # frozen tokenizer
+    ema_params: Any
+    step: jnp.ndarray
+
+
+class VARTrainer:
+    def __init__(self, vae: VQModel, var: VAR, tcfg: VARTrainConfig):
+        self.vae = vae
+        self.var = var
+        self.tcfg = tcfg
+        sched = lr_wd_annealing(tcfg.sched, tcfg.lr, tcfg.warmup_steps,
+                                tcfg.total_steps, tcfg.final_lr_ratio)
+        self.tx = adamw_with_freezing(
+            sched, weight_decay=tcfg.weight_decay, b1=tcfg.beta1, b2=tcfg.beta2,
+            grad_clip=tcfg.grad_clip)
+        pns = var.config.patch_nums
+        self.L = sum(p * p for p in pns)
+        self.last_l = pns[-1] ** 2
+
+    def init(self, rng, vae_params, sample_imgs) -> VARTrainState:
+        k1, k2 = jax.random.split(rng)
+        idx = self.vae.apply({"params": vae_params}, sample_imgs,
+                             method=VQModel.img_to_idxBl)
+        x_in = self.vae.apply({"params": vae_params}, idx,
+                              method=VQModel.idxBl_to_var_input)
+        label = jnp.zeros((sample_imgs.shape[0],), jnp.int32)
+        params = self.var.init(
+            {"params": k1, "sample": k2, "droppath": k2},
+            label, x_in, train=False)["params"]
+        return VARTrainState(params=params, opt_state=self.tx.init(params),
+                             vae_params=vae_params,
+                             ema_params=(jax.tree.map(jnp.copy, params)
+                                         if self.tcfg.ema else None),
+                             step=jnp.zeros((), jnp.int32))
+
+    def _ce_and_acc(self, logits_BLV, gt_BL_list, label_smooth=0.0):
+        """Per-PQ-branch CE (trainer.py:131-144) + mean/tail token accuracy."""
+        p = self.var.config.product_quant
+        v = logits_BLV.shape[-1] // p
+        loss = 0.0
+        accs, tails = [], []
+        for i, gt in enumerate(gt_BL_list):
+            lg = logits_BLV[..., i * v:(i + 1) * v]
+            logp = jax.nn.log_softmax(lg, axis=-1)
+            nll = -jnp.take_along_axis(logp, gt[..., None], axis=-1)[..., 0]
+            if label_smooth > 0:
+                nll = (1 - label_smooth) * nll - label_smooth * jnp.mean(logp, axis=-1)
+            loss = loss + nll  # (B, L)
+            pred = jnp.argmax(lg, axis=-1)
+            correct = (pred == gt).astype(jnp.float32)
+            accs.append(jnp.mean(correct) * 100.0)
+            tails.append(jnp.mean(correct[:, -self.last_l:]) * 100.0)
+        loss = loss / p
+        lw = 1.0 / self.L
+        loss = jnp.mean(jnp.sum(loss * lw, axis=-1))
+        return loss, sum(accs) / p, sum(tails) / p
+
+    @partial(jax.jit, static_argnums=(0,))
+    def train_step(self, state: VARTrainState, imgs, labels, rng):
+        idx_P = self.vae.apply({"params": state.vae_params}, imgs,
+                               method=VQModel.img_to_idxBl)
+        gt_BL = [jnp.concatenate(branch, axis=1) for branch in idx_P]
+        x_in = self.vae.apply({"params": state.vae_params}, idx_P,
+                              method=VQModel.idxBl_to_var_input)
+        x_in = jax.lax.stop_gradient(x_in)
+        k_s, k_dp = jax.random.split(rng)
+
+        def loss_fn(params):
+            logits = self.var.apply(
+                {"params": params}, labels, x_in,
+                p_drop_factor=self.tcfg.p_drop_factor, train=True,
+                rngs={"sample": k_s, "droppath": k_dp})
+            loss, acc, tail = self._ce_and_acc(logits, gt_BL, self.tcfg.label_smooth)
+            return loss, (acc, tail)
+
+        (loss, (acc, tail_acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        gnorm = optax.global_norm(grads)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = (ema_update(state.ema_params, new_params)
+                   if state.ema_params is not None else None)
+        metrics = dict(loss=loss, acc_mean=acc, acc_tail=tail_acc,
+                       grad_norm=gnorm)
+        return VARTrainState(new_params, new_opt, state.vae_params, new_ema,
+                             state.step + 1), metrics
+
+    def eval_step(self, state: VARTrainState, imgs, labels):
+        idx_P = self.vae.apply({"params": state.vae_params}, imgs,
+                               method=VQModel.img_to_idxBl)
+        gt_BL = [jnp.concatenate(branch, axis=1) for branch in idx_P]
+        x_in = self.vae.apply({"params": state.vae_params}, idx_P,
+                              method=VQModel.idxBl_to_var_input)
+        logits = self.var.apply({"params": state.params}, labels, x_in)
+        return self._ce_and_acc(logits, gt_BL)
+
+
+def var_sample(var: VAR, var_params, vae: VQModel, vae_params, label_B,
+               key, *, cfg_scale: float = 1.5, top_k: int = 0,
+               top_p: float = 0.0, joint_sample: bool = False):
+    """CFG multiscale decode (var.py:145-233) -> images in [0, 1], NHWC.
+    Jit the whole call; every stage has static shapes."""
+    cfg = var.config
+    pns = cfg.patch_nums
+    s = len(pns)
+    p = cfg.product_quant
+    b = label_B.shape[0]
+    c_br = cfg.Cvae // p
+
+    ntm, cond = var.apply({"params": var_params}, label_B,
+                          method=VAR.begin_tokens)
+    f_hat = jnp.zeros((b, pns[-1], pns[-1], cfg.Cvae), jnp.float32)
+    caches = [(None, None)] * cfg.depth
+    cur_l = 0
+    for si, pn in enumerate(pns):
+        logits, caches = var.apply({"params": var_params}, ntm, cond, caches,
+                                   method=VAR.decode_stage)
+        cur_l += pn * pn
+        t = cfg_scale * si / max(s - 1, 1)
+        logits = (1 + t) * logits[:b] - t * logits[b:]
+        key, *ks = jax.random.split(key, p + 1)
+        if joint_sample and p == 2:
+            # PQ joint sampling (var.py:196-209): outer product of per-branch
+            # filtered distributions, one draw from the joint.
+            v = logits.shape[-1] // 2
+            p1 = sample_with_top_k_top_p(logits[..., :v], ks[0], top_k, top_p,
+                                         return_p=True)
+            p2 = sample_with_top_k_top_p(logits[..., v:], ks[0], top_k, top_p,
+                                         return_p=True)
+            joint = (p1[..., :, None] * p2[..., None, :]).reshape(
+                b, pn * pn, v * v)
+            idx = jax.random.categorical(ks[1], jnp.log(joint + 1e-20), axis=-1)
+            idx_list = [idx // v, idx % v]
+        else:
+            v = logits.shape[-1] // p
+            idx_list = [
+                sample_with_top_k_top_p(logits[..., i * v:(i + 1) * v],
+                                        ks[i], top_k, top_p)
+                for i in range(p)
+            ]
+        hs = []
+        for i, idx in enumerate(idx_list):
+            h = vae.apply({"params": vae_params}, i, idx, si,
+                          method=VQModel.embed_branch)
+            hs.append(h.reshape(b, pn, pn, c_br))
+        h_all = jnp.concatenate(hs, axis=-1)
+        f_hat, next_map = vae.apply({"params": vae_params}, si, s, f_hat, h_all,
+                                    method=VQModel.get_next_autoregressive_input)
+        if si != s - 1:
+            ntm = var.apply({"params": var_params}, next_map, cur_l, pns[si + 1],
+                            method=VAR.next_stage_input)
+    img = vae.apply({"params": vae_params}, f_hat, method=VQModel.fhat_to_img)
+    return img * 0.5 + 0.5

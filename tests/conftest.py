@@ -6,7 +6,10 @@ reference's no-cluster degradation paths (reference dist.py:25-29)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment sets JAX_PLATFORMS=axon (tunneled TPU),
+# where every eager op is an RPC round trip — tests would run ~100x slower
+# and fight the bench for the single chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +20,11 @@ os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 
 import jax  # noqa: E402
 
+# The axon sitecustomize sets jax_platforms="axon,cpu" programmatically,
+# overriding the env var — force CPU via config update after import.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: repeat suite runs skip XLA recompiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/imagefolder_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -15,10 +15,38 @@ def ref_path():
     if REF not in sys.path:
         sys.path.insert(0, REF)
     if not tdist.is_initialized():
-        os.environ.setdefault("MASTER_ADDR", "127.0.0.1")
-        os.environ.setdefault("MASTER_PORT", "29512")
+        import socket
+
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        os.environ["MASTER_ADDR"] = "127.0.0.1"
+        os.environ["MASTER_PORT"] = str(port)
         tdist.init_process_group("gloo", rank=0, world_size=1)
     return REF
+
+
+def stub_heavy_modules():
+    """Stub timm/peft/torchvision-dependent modules so pure-torch reference
+    files import offline."""
+    import types
+
+    def _stub(name, **attrs):
+        mod = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules.setdefault(name, mod)
+        return mod
+
+    _stub("timm")
+    _stub("timm.models", create_model=lambda *a, **k: None)
+    _stub("wandb")
+    _stub("tokenizer.tokenizer_image.dino_enc")
+    _stub("tokenizer.tokenizer_image.dino_enc.dinov2",
+          DINOv2Encoder=object, DINOv2Decoder=object)
+    _stub("datasets", Denormalize=lambda *a, **k: (lambda x: x),
+          Normalize=lambda *a, **k: (lambda x: x))
 
 
 def t2n(x):

@@ -1,0 +1,88 @@
+"""Two-optimizer GAN train step: smoke + invariants on a tiny CNN config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagefolder_tpu.models.tokenizer import ModelArgs
+from imagefolder_tpu.train.tokenizer_train import (
+    TokenizerTrainConfig,
+    TokenizerTrainer,
+)
+
+
+def _tiny_trainer(**overrides):
+    mcfg = ModelArgs(
+        codebook_size=32, codebook_embed_dim=8,
+        encoder_ch_mult=(1, 2), decoder_ch_mult=(1, 2), z_channels=32,
+        enc_type="cnn", dec_type="cnn", semantic_guide="none",
+        detail_guide="none", num_latent_tokens=256, image_size=32,
+        v_patch_nums=(1, 2, 16), codebook_drop=0.25, start_drop=1,
+    )
+    kwargs = dict(
+        disc_type="patchgan", disc_start=0, disc_adaptive_weight=True,
+        lecam_loss_weight=0.001, epochs=2, steps_per_epoch=4, image_size=32)
+    kwargs.update(overrides)
+    return TokenizerTrainer(mcfg, TokenizerTrainConfig(**kwargs))
+
+
+def test_train_step_updates_and_finite():
+    tr = _tiny_trainer()
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (4, 32, 32, 3), minval=-1, maxval=1)
+    state = tr.init(key, imgs)
+    s1, m1 = tr.train_step(state, imgs, jax.random.PRNGKey(1), epoch=0)
+    s2, m2 = tr.train_step(s1, imgs, jax.random.PRNGKey(2), epoch=0)
+    for k, v in m2.items():
+        assert np.isfinite(np.asarray(v)).all(), f"{k} not finite"
+    assert int(s2.step) == 2
+    # generator params actually moved
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                     state.params, s2.params)
+    assert max(jax.tree.leaves(d)) > 0
+    # frozen lpips untouched
+    same = jax.tree.map(lambda a, b: bool(jnp.array_equal(a, b)),
+                        state.lpips_params, s2.lpips_params)
+    assert all(jax.tree.leaves(same))
+    # EMA between old and new
+    assert s2.ema_params is not None
+    # usage EMA tracked
+    assert float(jnp.sum(s2.usage_ema)) > 0
+    assert int(s2.record_hit) == 2
+    # disc params moved
+    dd = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                      state.disc_params, s2.disc_params)
+    assert max(jax.tree.leaves(dd)) > 0
+
+
+def test_disc_warmup_zeroes_adv_effect():
+    tr = _tiny_trainer(disc_start=1000, disc_adaptive_weight=False)
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (4, 32, 32, 3), minval=-1, maxval=1)
+    state = tr.init(key, imgs)
+    s1, m1 = tr.train_step(state, imgs, jax.random.PRNGKey(1), epoch=0)
+    assert float(m1["disc_weight"]) == 0.0
+    assert float(m1["disc_loss"]) == 0.0
+
+
+def test_frozen_teachers_receive_no_updates():
+    mcfg = ModelArgs(
+        codebook_size=32, codebook_embed_dim=8,
+        encoder_ch_mult=(1, 2), decoder_ch_mult=(1, 2), z_channels=32,
+        enc_type="cnn", dec_type="cnn", semantic_guide="dinov2",
+        detail_guide="none", num_latent_tokens=256, image_size=32,
+        v_patch_nums=(16,), guide_type_1="class",
+        encoder_model="vit_small_patch14_dinov2.lvd142m",
+    )
+    tcfg = TokenizerTrainConfig(disc_type="patchgan", epochs=1,
+                                steps_per_epoch=2, image_size=32)
+    tr = TokenizerTrainer(mcfg, tcfg)
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (2, 32, 32, 3), minval=-1, maxval=1)
+    state = tr.init(key, imgs)
+    s1, m1 = tr.train_step(state, imgs, jax.random.PRNGKey(1), epoch=0)
+    same = jax.tree.map(lambda a, b: bool(jnp.array_equal(a, b)),
+                        state.params["semantic_model"],
+                        s1.params["semantic_model"])
+    assert all(jax.tree.leaves(same))
+    assert float(m1["sem_loss"]) != 0.0

@@ -1,0 +1,160 @@
+"""VAR generator: golden parity with the reference transformer + KV-cache
+consistency + end-to-end sampling."""
+
+import numpy as np
+import torch
+
+from tests.ref_utils import ref_path, stub_heavy_modules, t2n
+
+ref_path()
+stub_heavy_modules()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from imagefolder_tpu.models.tokenizer import ModelArgs, VQModel  # noqa: E402
+from imagefolder_tpu.models.var import VAR, VARConfig  # noqa: E402
+from imagefolder_tpu.train.var_train import (  # noqa: E402
+    VARTrainConfig,
+    VARTrainer,
+    build_vae_var,
+    var_sample,
+)
+from imagefolder_tpu.utils.convert_torch import convert_var  # noqa: E402
+
+PNS = (1, 2, 3)
+
+
+class _FakeVae:
+    """Minimal vae_local for reference VAR construction."""
+
+    def __init__(self, vocab, cvae):
+        self.vocab_size, self.Cvae = vocab, cvae
+        self.quantizes = []
+        self.product_quant = 1
+
+
+def _ref_var(depth=2, c=64, heads=2, vocab=32, cvae=8, l2=False):
+    from models.var import VAR as RefVAR
+    torch.manual_seed(0)
+    return RefVAR(
+        _FakeVae(vocab, cvae), num_classes=10, depth=depth, embed_dim=c,
+        num_heads=heads, patch_nums=PNS, attn_l2_norm=l2,
+        flash_if_available=False, fused_if_available=False, p_drop=0.0,
+        drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0,
+        cond_drop_rate=0.0,
+    )
+
+
+def test_var_forward_matches_reference():
+    ref = _ref_var(l2=True)
+    ref.eval()
+    cfg = VARConfig(vocab_size=32, Cvae=8, num_classes=10, depth=2,
+                    embed_dim=64, num_heads=2, patch_nums=PNS,
+                    attn_l2_norm=True, cond_drop_rate=0.0, p_drop=0.0)
+    mine = VAR(cfg)
+    params = convert_var(ref.state_dict(), depth=2, attn_l2_norm=True, mlm=False)
+    label = torch.tensor([1, 7])
+    x_in = torch.randn(2, cfg.L - 1, 8, generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        want = ref(label, x_in)
+    got = mine.apply({"params": params}, jnp.asarray(label.numpy()),
+                     jnp.asarray(x_in.numpy()))
+    np.testing.assert_allclose(np.asarray(got), t2n(want), rtol=2e-4, atol=2e-4)
+
+
+def test_kv_cache_decode_equals_blockcausal_forward():
+    """Per-stage cached decode must reproduce training-forward logits: the
+    block-causal bias is exactly prefix attention."""
+    cfg = VARConfig(vocab_size=32, Cvae=8, num_classes=10, depth=3,
+                    embed_dim=64, num_heads=4, patch_nums=PNS,
+                    cond_drop_rate=0.0, p_drop=0.0)
+    var = VAR(cfg)
+    key = jax.random.PRNGKey(0)
+    label = jnp.asarray([3, 5])
+    x_in = jax.random.normal(key, (2, cfg.L - cfg.first_l, 8))
+    params = var.init({"params": key}, label, x_in)["params"]
+    full = var.apply({"params": params}, label, x_in)
+
+    # staged: rebuild the same input embeddings per stage and decode w/ cache
+    cond = jnp.take(params["class_emb"], label, axis=0)
+    sos = jnp.broadcast_to(cond[:, None], (2, cfg.first_l, 64)) + params["pos_start"]
+    we_k, we_b = params["word_embed"]["kernel"], params["word_embed"]["bias"]
+    x_all = jnp.concatenate([sos, x_in @ we_k + we_b], axis=1)
+    import numpy as _np
+    lvl = _np.concatenate([_np.full((p * p,), i) for i, p in enumerate(PNS)])
+    x_all = x_all + jnp.take(params["lvl_embed"], jnp.asarray(lvl), axis=0)[None] \
+        + params["pos_1LC"]
+
+    caches = [(None, None)] * cfg.depth
+    outs = []
+    cur = 0
+    for pn in PNS:
+        seg = x_all[:, cur:cur + pn * pn]
+        logits, caches = var.apply({"params": params}, seg, cond, caches,
+                                   method=VAR.decode_stage)
+        outs.append(logits)
+        cur += pn * pn
+    staged = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(staged), np.asarray(full),
+                               rtol=2e-4, atol=2e-4)
+
+
+def _tiny_models(product_quant=1):
+    margs = ModelArgs(
+        codebook_size=32, codebook_embed_dim=8,
+        encoder_ch_mult=(1, 2), decoder_ch_mult=(1, 2), z_channels=32,
+        enc_type="cnn", dec_type="cnn", semantic_guide="none",
+        detail_guide="none", num_latent_tokens=9, image_size=32,
+        v_patch_nums=PNS, product_quant=product_quant,
+    )
+    # cnn at 32px/f2 gives 16x16 grid; we need 3x3 -> use image_size 6? keep
+    # it simple: cnn f2 of 6px -> 3x3
+    margs.image_size = 6
+    vae = VQModel(margs)
+    var = VAR(VARConfig(
+        vocab_size=margs.codebook_size * product_quant,
+        Cvae=margs.codebook_embed_dim * product_quant,
+        product_quant=product_quant, num_classes=10, depth=2, embed_dim=64,
+        num_heads=2, patch_nums=PNS, drop_path_rate=0.0))
+    return margs, vae, var
+
+
+def test_var_train_step_and_sampling():
+    margs, vae, var = _tiny_models()
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (2, 6, 6, 3), minval=-1, maxval=1)
+    vae_params = vae.init(key, imgs, train=False)["params"]
+    tr = VARTrainer(vae, var, VARTrainConfig(total_steps=10, warmup_steps=2))
+    state = tr.init(key, vae_params, imgs)
+    labels = jnp.asarray([1, 2])
+    s1, m1 = tr.train_step(state, imgs, labels, jax.random.PRNGKey(1))
+    s2, m2 = tr.train_step(s1, imgs, labels, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m2["loss"]))
+    assert 0.0 <= float(m2["acc_mean"]) <= 100.0
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                     state.params, s2.params)
+    assert max(jax.tree.leaves(d)) > 0
+
+    img = var_sample(var, s2.params, vae, vae_params,
+                     jnp.asarray([0, 1]), jax.random.PRNGKey(3),
+                     cfg_scale=1.5, top_k=8, top_p=0.9)
+    assert img.shape == (2, 6, 6, 3)
+    a = np.asarray(img)
+    assert np.isfinite(a).all() and a.min() >= 0.0 and a.max() <= 1.0
+
+
+def test_var_sampling_pq2_joint():
+    margs, vae, var = _tiny_models(product_quant=2)
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (2, 6, 6, 3), minval=-1, maxval=1)
+    # PQ2 vit-less cnn: encode gives (B,1,g,g,C) so product_quant>1 with cnn is
+    # not a reference configuration; instead test the joint-sampling math on
+    # the var side with a PQ2 vit-free fake: skip if encode path unsupported.
+    vae_params = vae.init(key, imgs, train=False)["params"]
+    var_params = var.init({"params": key}, jnp.asarray([0, 1]),
+                          jnp.zeros((2, var.config.L - 1, var.config.Cvae)))["params"]
+    img = var_sample(var, var_params, vae, vae_params, jnp.asarray([0, 1]),
+                     jax.random.PRNGKey(1), cfg_scale=2.0, top_k=4,
+                     joint_sample=True)
+    assert img.shape == (2, 6, 6, 3)
