@@ -91,9 +91,16 @@ class RARAttention(nn.Module):
             lmax = ck.shape[1]
             valid = jnp.arange(lmax) < (cache_index + n)
             mask = jnp.where(valid, 0.0, -jnp.inf)[None, None, None, :]
-        out = jax.nn.dot_product_attention(
-            q, k.astype(q.dtype), v.astype(q.dtype),
-            bias=None if mask is None else mask.astype(jnp.float32))
+        if cache is None:
+            from imagefolder_tpu.ops.pallas.attention import dot_product_attention
+
+            out = dot_product_attention(
+                q, k.astype(q.dtype), v.astype(q.dtype),
+                bias=None if mask is None else mask.astype(jnp.float32))
+        else:
+            out = jax.nn.dot_product_attention(
+                q, k.astype(q.dtype), v.astype(q.dtype),
+                bias=None if mask is None else mask.astype(jnp.float32))
         out = out.reshape(b, n, c)
         out = nn.Dense(c, kernel_init=linear_kaiming_uniform, dtype=self.dtype,
                        param_dtype=jnp.float32, name="proj")(out)

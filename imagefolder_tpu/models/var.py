@@ -130,9 +130,11 @@ class VARSelfAttention(nn.Module):
                 k = jnp.concatenate([ck, k], axis=1)
                 v = jnp.concatenate([cv, v], axis=1)
             new_cache = (k, v)
-        out = jax.nn.dot_product_attention(
+        from imagefolder_tpu.ops.pallas.attention import dot_product_attention
+
+        out = dot_product_attention(
             q.astype(self.dtype), k.astype(self.dtype), v.astype(self.dtype),
-            bias=None if attn_bias is None else attn_bias.astype(self.dtype),
+            bias=None if attn_bias is None else attn_bias.astype(jnp.float32),
             scale=scale)
         out = out.reshape(b, l, c)
         return self.proj(out), new_cache

@@ -109,8 +109,9 @@ class Attention(nn.Module):
                        dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
-        # jax.nn.dot_product_attention lowers to a fused TPU kernel
-        out = jax.nn.dot_product_attention(q, k, v, bias=mask)
+        from imagefolder_tpu.ops.pallas.attention import dot_product_attention
+
+        out = dot_product_attention(q, k, v, bias=mask)
         out = out.reshape(b, n, c)
         return nn.Dense(c, kernel_init=linear_kaiming_uniform,
                         dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)

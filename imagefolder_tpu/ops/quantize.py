@@ -141,16 +141,35 @@ def usage_percent(ema_SV: jnp.ndarray, tokens_per_scale: float, vocab_size: int)
     return jnp.mean((ema_SV >= margin).astype(jnp.float32), axis=-1) * 100.0
 
 
+def _use_pallas_lookup(n: int, v: int) -> bool:
+    """Use the fused Pallas kernel on TPU-family backends when the (N, V)
+    distance matrix is big enough that avoiding its HBM materialization wins
+    (it's bit-identical to the XLA path — fp32 MXU, same tie-breaking)."""
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return False
+    return backend in ("tpu", "axon") and n * v >= 1 << 20
+
+
 def _codebook_lookup(rest_NC: jnp.ndarray, codebook_VC: jnp.ndarray, znorm: bool):
     """Nearest-code indices. znorm: cosine argmax over L2-normalized rows
     (quant.py:93-94); else squared-L2 argmin via the |z|^2+|e|^2-2ze expansion
-    (quant.py:98-101). fp32, MXU matmul."""
+    (quant.py:98-101). fp32 MXU; fused Pallas kernel on TPU for large N*V."""
+    from imagefolder_tpu.ops.pallas.codebook import codebook_argmin
+
+    n, v = rest_NC.shape[0], codebook_VC.shape[0]
     if znorm:
         rest = rest_NC / (jnp.linalg.norm(rest_NC, axis=-1, keepdims=True) + 1e-12)
         cb = codebook_VC / (jnp.linalg.norm(codebook_VC, axis=-1, keepdims=True) + 1e-12)
+        if _use_pallas_lookup(n, v):
+            return codebook_argmin(rest, cb, maximize=True)
         sim = jnp.dot(rest, cb.T, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
         return jnp.argmax(sim, axis=-1)
+    if _use_pallas_lookup(n, v):
+        return codebook_argmin(rest_NC.astype(jnp.float32),
+                               codebook_VC.astype(jnp.float32))
     d = (
         jnp.sum(jnp.square(rest_NC), axis=-1, keepdims=True)
         + jnp.sum(jnp.square(codebook_VC), axis=-1)
