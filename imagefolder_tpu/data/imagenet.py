@@ -111,13 +111,16 @@ def make_dataloader(root: str, batch_size: int, image_size: int = 256, *,
 
     files, labels, _ = list_image_folder(root)
     source = ImageFolderSource(files, labels, image_size, train)
+    # grain batches per worker: keep every worker's shard >= one batch, or
+    # small datasets would yield undersized/empty batches
+    num_workers = max(0, min(num_workers, len(source) // max(batch_size, 1)))
     sampler = grain.IndexSampler(
         num_records=len(source),
         shuffle=train,
         seed=seed,
         num_epochs=num_epochs,
         shard_options=grain.ShardOptions(shard_index, shard_count,
-                                         drop_remainder=True),
+                                         drop_remainder=train),
     )
     return grain.DataLoader(
         data_source=source,

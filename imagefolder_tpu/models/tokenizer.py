@@ -273,6 +273,12 @@ class VQModel(nn.Module):
         cfg = self.config
         if cfg.enc_type == "cnn":
             h = self.encoder(x)  # (B, g, g, z)
+            if h.shape[1] != self.grid:
+                raise ValueError(
+                    f"encoder output grid {h.shape[1]}x{h.shape[2]} != "
+                    f"sqrt(num_latent_tokens)={self.grid} — check image_size "
+                    f"({cfg.image_size}) vs encoder_ch_mult downsampling "
+                    f"(f{2 ** (len(cfg.encoder_ch_mult) - 1)})")
             h = self.quant_conv(h)
             return h[:, None]  # P=1 axis
         tokens = self.encoder(x)  # (B, P*g*g, D)

@@ -52,6 +52,7 @@ _CH_MULTS = {"VQ-16": (1, 1, 2, 2, 4), "VQ-8": (1, 2, 2, 4)}
 
 # YAML key -> (target, field)
 _MODEL_KEYS = {
+    "encoder_ch_mult", "decoder_ch_mult",
     "codebook_size", "codebook_embed_dim", "codebook_l2_norm",
     "commit_loss_beta", "entropy_loss_ratio", "z_channels", "v_patch_nums",
     "enc_type", "dec_type", "semantic_guide", "detail_guide",

@@ -15,6 +15,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from imagefolder_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -89,7 +93,7 @@ def main():
         feat_fn = jax.jit(lambda x01: inception.apply(inception_vars, x01))
 
     loader = make_dataloader(val, args.batch_size, margs.image_size,
-                             train=False, num_epochs=1)
+                             train=False, num_epochs=1, drop_remainder=False)
     psnrs, ssims = [], []
     feats_real, feats_fake = [], []
     seen = 0

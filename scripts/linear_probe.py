@@ -12,6 +12,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from imagefolder_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -75,7 +79,8 @@ def main():
 
     val_loader = make_dataloader(args.val_data or run.val_data_path,
                                  args.batch_size, margs.image_size,
-                                 train=False, num_epochs=1)
+                                 train=False, num_epochs=1,
+                                 drop_remainder=False)
     correct = total = 0
     for batch in val_loader:
         feats = feat_fn(params, jnp.asarray(batch["image"]))

@@ -20,6 +20,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from imagefolder_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,7 +31,7 @@ import numpy as np
 
 def get_random_ratio(anneal_start, anneal_end, end_ratio, epoch):
     """RobustTok annealing (xqgan_train.py:62-68)."""
-    if epoch < anneal_start:
+    if epoch < anneal_start or anneal_end <= anneal_start:
         return 1.0
     if epoch > anneal_end:
         return end_ratio
@@ -138,8 +142,8 @@ def validate(trainer, state, run, margs, logger, max_batches: int = 20):
     from imagefolder_tpu.eval.psnr_ssim import psnr
     from imagefolder_tpu.models.tokenizer import VQModel
 
-    loader = make_dataloader(run.val_data_path, 32, margs.image_size,
-                             train=False, num_epochs=1)
+    loader = make_dataloader(run.val_data_path, 8, margs.image_size,
+                             train=False, num_epochs=1, drop_remainder=False)
     rec_fn = jax.jit(lambda v, x: trainer.model.apply(
         {"params": v}, x, method=VQModel.img_to_reconstructed_img))
     vals = []

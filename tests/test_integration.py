@@ -1,0 +1,81 @@
+"""End-to-end integration: synthetic dataset -> loader -> GAN train steps ->
+orbax checkpoint round-trip -> reconstruction eval. Mirrors the CLI flow
+(scripts/train_tokenizer.py) without the process boundary."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("tinyds")
+    rng = np.random.default_rng(0)
+    for c in range(2):
+        d = root / "train" / f"class_{c}"
+        d.mkdir(parents=True)
+        for i in range(6):
+            Image.fromarray((rng.random((48, 40, 3)) * 255).astype(np.uint8)
+                            ).save(d / f"{i}.jpg")
+    return root
+
+
+def test_loader_train_ckpt_eval_roundtrip(tiny_dataset, tmp_path):
+    from imagefolder_tpu.data.imagenet import make_dataloader
+    from imagefolder_tpu.eval.psnr_ssim import psnr
+    from imagefolder_tpu.models.tokenizer import ModelArgs, VQModel
+    from imagefolder_tpu.train.tokenizer_train import (
+        TokenizerTrainConfig,
+        TokenizerTrainer,
+    )
+    from imagefolder_tpu.utils.ckpt import CheckpointManager
+
+    margs = ModelArgs(
+        codebook_size=16, codebook_embed_dim=8,
+        encoder_ch_mult=(1, 2), decoder_ch_mult=(1, 2), z_channels=32,
+        enc_type="cnn", dec_type="cnn", semantic_guide="none",
+        detail_guide="none", num_latent_tokens=256, image_size=32,
+        v_patch_nums=(1, 16), start_drop=1,
+    )
+    tcfg = TokenizerTrainConfig(disc_type="patchgan", epochs=1,
+                                steps_per_epoch=3, image_size=32)
+    trainer = TokenizerTrainer(margs, tcfg)
+
+    loader = make_dataloader(str(tiny_dataset / "train"), 4, 32, train=True,
+                             num_epochs=2, num_workers=0)
+    it = iter(loader)
+    b = next(it)
+    assert b["image"].shape == (4, 32, 32, 3)
+    assert b["image"].min() >= -1.0 and b["image"].max() <= 1.0
+
+    key = jax.random.PRNGKey(0)
+    state = trainer.init(key, jnp.asarray(b["image"][:2]))
+    losses = []
+    for step in range(3):
+        imgs = jnp.asarray(next(it)["image"]) if step else jnp.asarray(b["image"])
+        state, metrics = trainer.train_step(state, imgs,
+                                            jax.random.fold_in(key, step),
+                                            epoch=0)
+        losses.append(float(metrics["rec_loss"]))
+    assert all(np.isfinite(losses))
+
+    # checkpoint round-trip (reference last_ckpt/resume semantics)
+    ckpt = CheckpointManager(str(tmp_path / "run"))
+    ckpt.save(3, jax.device_get(state))
+    ckpt.wait()
+    restored, step = ckpt.restore(jax.device_get(state))
+    assert step == 3
+    same = jax.tree.map(lambda a, b: bool(np.allclose(a, b)),
+                        jax.device_get(state).params, restored.params)
+    assert all(jax.tree.leaves(same))
+
+    # eval path on restored params
+    model = VQModel(margs)
+    rec = model.apply({"params": restored.params}, jnp.asarray(b["image"]),
+                      method=VQModel.img_to_reconstructed_img)
+    p = psnr(jnp.asarray(b["image"]) * 0.5 + 0.5, rec * 0.5 + 0.5)
+    assert np.isfinite(np.asarray(p)).all()
