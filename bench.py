@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 TORCH_REFERENCE_IMG_PER_SEC = 300.0  # documented estimate, see module docstring
-BATCH = 32
+BATCH = 64
 ITERS = 20
 
 
@@ -83,7 +83,7 @@ def main():
     print(json.dumps({
         "metric": "tokenizer_encode_decode_images_per_sec_per_chip",
         "value": round(img_per_sec, 2),
-        "unit": "img/s/chip (VQ-4096 ViT-B enc+dec, 256px, bf16, B=32)",
+        "unit": "img/s/chip (VQ-4096 ViT-B enc+dec, 256px, bf16, B=64)",
         "vs_baseline": round(img_per_sec / TORCH_REFERENCE_IMG_PER_SEC, 3),
     }))
 

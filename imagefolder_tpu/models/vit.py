@@ -117,19 +117,80 @@ class Attention(nn.Module):
                         dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
 
 
+class RoPEAttention(nn.Module):
+    """MHA with rotary embeddings (vendored vision_transformer.py:200-278):
+    learnable mixed-2D rope on image tokens, learnable 1D rope on latent
+    tokens, prefix (cls) unrotated."""
+
+    num_heads: int
+    num_prefix_tokens: int = 1
+    num_latent_tokens: int = 32
+    num_image_tokens: int = 256
+    rope_theta: float = 10.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        from imagefolder_tpu.ops import rope as R
+
+        b, n, c = x.shape
+        hd = c // self.num_heads
+        qkv = nn.Dense(3 * c, kernel_init=linear_kaiming_uniform,
+                       dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        freqs = self.param(
+            "freqs",
+            lambda key, shape: R.init_2d_freqs_jax(
+                key, hd, self.num_heads, self.rope_theta),
+            (2, self.num_heads, hd // 2))
+        freqs_1d = self.param(
+            "freqs_1d",
+            lambda key, shape: jnp.asarray(R.init_1d_freqs(hd, self.num_latent_tokens)),
+            (self.num_latent_tokens, hd // 2, 2))
+
+        g = int(math.sqrt(self.num_image_tokens))
+        t_x, t_y = R.init_t_xy(g, g)
+        cis2d = R.compute_mixed_cis(freqs, jnp.asarray(t_x), jnp.asarray(t_y))
+
+        p, nl = self.num_prefix_tokens, self.num_latent_tokens
+
+        def rot(t):
+            img = R.apply_rotary(t[:, p:n - nl], cis2d)
+            lat = R.apply_rotary(t[:, n - nl:], freqs_1d)
+            return jnp.concatenate([t[:, :p], img, lat], axis=1)
+
+        q, k = rot(q), rot(k)
+        from imagefolder_tpu.ops.pallas.attention import dot_product_attention
+
+        out = dot_product_attention(q, k, v, bias=mask)
+        out = out.reshape(b, n, c)
+        return nn.Dense(c, kernel_init=linear_kaiming_uniform,
+                        dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
+
+
 class Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     init_values: Optional[float] = 1e-5  # LayerScale (dinov2)
     lora_rank: int = 0
     dtype: jnp.dtype = jnp.float32
+    use_rope: bool = False
+    num_latent_tokens: int = 0
+    num_image_tokens: int = 256
 
     @nn.compact
     def __call__(self, x, mask=None):
         c = x.shape[-1]
-        h = Attention(self.num_heads, dtype=self.dtype, name="attn")(
-            _ln("norm1", self.dtype)(x), mask
-        )
+        if self.use_rope:
+            attn = RoPEAttention(
+                self.num_heads, num_latent_tokens=self.num_latent_tokens,
+                num_image_tokens=self.num_image_tokens, dtype=self.dtype,
+                name="attn")
+        else:
+            attn = Attention(self.num_heads, dtype=self.dtype, name="attn")
+        h = attn(_ln("norm1", self.dtype)(x), mask)
         if self.init_values is not None:
             h = h * self.param("ls1", nn.initializers.constant(self.init_values), (c,))
         x = x + h
@@ -182,6 +243,8 @@ class ViTBackbone(nn.Module):
     pre_norm: bool = False  # True for CLIP
     lora_rank: int = 0
     dtype: jnp.dtype = jnp.float32
+    use_rope: bool = False
+    num_latent_tokens: int = 0  # only used by rope blocks
 
     @property
     def grid(self):
@@ -204,7 +267,9 @@ class ViTBackbone(nn.Module):
         )
         self.blocks = [
             Block(self.num_heads, self.mlp_ratio, self.init_values,
-                  self.lora_rank, self.dtype, name=f"block_{i}")
+                  self.lora_rank, self.dtype, self.use_rope,
+                  self.num_latent_tokens, self.num_patches,
+                  name=f"block_{i}")
             for i in range(self.depth)
         ]
         self.norm = _ln("norm", self.dtype)
@@ -368,6 +433,7 @@ class LatentDecoder(nn.Module):
     tuning_method: str = "full"
     lora_rank: int = 0
     out_channels: int = 3
+    use_rope: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -380,11 +446,16 @@ class LatentDecoder(nn.Module):
         rank = self.lora_rank if self.tuning_method == "lora" else 0
         self.model = ViTBackbone(
             **_backbone_kwargs(self.model_name, self.img_size, self.patch_size,
-                               rank, self.dtype), name="model",
+                               rank, self.dtype),
+            use_rope=self.use_rope,
+            num_latent_tokens=self.num_latent_tokens if self.use_rope else 0,
+            name="model",
         )
         d = self.embed_dim
         self.mask_token = self.param("mask_token", nn.initializers.normal(1e-6), (1, 1, d))
-        if self.abs_pos_embed:
+        if self.use_rope:
+            pass  # rope replaces absolute positions (dinov2.py:261,333-339)
+        elif self.abs_pos_embed:
             self.lvl_embed = self.param("lvl_embed", trunc_normal(math.sqrt(1 / d / 3)), (2, d))
         else:
             self.latent_pos_embed = self.param(
@@ -402,8 +473,18 @@ class LatentDecoder(nn.Module):
         x = jnp.broadcast_to(
             self.mask_token.astype(jnp.float32), (b, m.num_patches, self.embed_dim)
         )
-        x = m.pos_embed_tokens(x)  # (B, 1+N, D)
         z = z.astype(jnp.float32)
+        if self.use_rope:
+            # rope path: cls + mask tokens without positional adds, latents
+            # appended raw (dinov2.py:333-342)
+            cls = jnp.broadcast_to(m.cls_token.astype(jnp.float32),
+                                   (b, 1, self.embed_dim))
+            x = jnp.concatenate([cls, x, z], axis=1)
+            x = m.run_blocks(x)
+            x = x[:, 1:m.num_patches + 1]
+            out = self.pixel_head(x)
+            return (out, x) if return_prelast else out
+        x = m.pos_embed_tokens(x)  # (B, 1+N, D)
         if self.abs_pos_embed:
             g = int(math.sqrt(self.num_latent_tokens))
             assert g * g == self.num_latent_tokens

@@ -137,6 +137,7 @@ def adamw_with_freezing(
     frozen_fn: Optional[Callable[[str], bool]] = None,
     grad_clip: float = 0.0,
     eps: float = 1e-8,
+    grad_accum_steps: int = 1,
 ):
     """AdamW where decay skips no-decay groups and frozen params get zero
     updates. Labels are derived from param paths."""
@@ -165,6 +166,9 @@ def adamw_with_freezing(
          "frozen": optax.set_to_zero()},
         label_tree,
     )
+    if grad_accum_steps > 1:
+        # reference AmpOptimizer grad accumulation (utils/amp_sc.py:39-66)
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
     return tx
 
 

@@ -92,6 +92,7 @@ class TokenizerTrainConfig:
     ema_decay: float = 0.9999
     image_size: int = 256
     dino_depth: int = 12  # DinoDisc trunk depth (reduced in tests)
+    grad_accum_steps: int = 1
 
 
 @jax.tree_util.register_dataclass
@@ -164,11 +165,13 @@ class TokenizerTrainer:
         self.gen_tx = adamw_with_freezing(
             g_sched, weight_decay=tcfg.weight_decay, b1=tcfg.beta1, b2=tcfg.beta2,
             frozen_fn=tokenizer_frozen_predicate(model_cfg),
-            grad_clip=tcfg.max_grad_norm)
+            grad_clip=tcfg.max_grad_norm,
+            grad_accum_steps=tcfg.grad_accum_steps)
         self.disc_tx = adamw_with_freezing(
             d_sched, weight_decay=tcfg.disc_weight_decay, b1=tcfg.beta1,
             b2=tcfg.beta2, frozen_fn=disc_frozen_predicate,
-            grad_clip=tcfg.max_grad_norm)
+            grad_clip=tcfg.max_grad_norm,
+            grad_accum_steps=tcfg.grad_accum_steps)
         self.d_loss = D_LOSSES[tcfg.disc_loss]
         self.g_loss = G_LOSSES[tcfg.gen_loss]
 
@@ -198,6 +201,24 @@ class TokenizerTrainer:
             record_hit=jnp.zeros((), jnp.int32),
             step=jnp.zeros((), jnp.int32),
         )
+
+    def reinit_disc_heads(self, state: TokenizerTrainState, rng,
+                          sample_imgs) -> TokenizerTrainState:
+        """Periodic discriminator head re-initialization (reference
+        DinoDisc.reinit, discriminator_dino.py:219-234 / xqgan_train.py:436):
+        fresh head params (frozen trunk kept), fresh disc optimizer state."""
+        fresh = self.disc.init(rng, sample_imgs, train=False)
+        fresh_params = fresh["params"]
+        if isinstance(self.disc, DinoDisc):
+            new_disc = dict(state.disc_params)
+            for k, v in fresh_params.items():
+                if k != "dino":
+                    new_disc[k] = v
+        else:
+            new_disc = fresh_params
+        return dataclasses.replace(
+            state, disc_params=new_disc,
+            disc_opt_state=self.disc_tx.init(new_disc))
 
     # ------------------------------------------------------------------ #
     def _disc_apply(self, disc_params, disc_vars, imgs, rng, update_stats):

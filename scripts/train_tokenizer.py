@@ -103,6 +103,10 @@ def main():
         ratio = get_random_ratio(run.anneal_start, run.anneal_end,
                                  run.end_ratio, epoch)
         alpha = run.alpha * ratio
+        if run.disc_reinit and epoch and epoch % run.disc_reinit == 0:
+            state = trainer.reinit_disc_heads(
+                state, jax.random.fold_in(key, 10_000_000 + epoch), sample)
+            logger.info(f"discriminator heads re-initialized at epoch {epoch}")
         for _ in range(tcfg.steps_per_epoch):
             try:
                 b = next(data_it)
