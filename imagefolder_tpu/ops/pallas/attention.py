@@ -121,13 +121,39 @@ def fused_attention(q, k, v, bias: Optional[jnp.ndarray] = None,
     return out[:, :lq]
 
 
+def _xla_attention(q, k, v, bias, scale):
+    return jax.nn.dot_product_attention(q, k, v, bias=bias, scale=scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_attention_diff(q, k, v, bias, scale):
+    return fused_attention(q, k, v, bias=bias, scale=scale)
+
+
+def _fad_fwd(q, k, v, bias, scale):
+    return fused_attention(q, k, v, bias=bias, scale=scale), (q, k, v, bias)
+
+
+def _fad_bwd(scale, res, g):
+    # backward recomputes through the XLA formulation (the fused kernel has
+    # no native VJP); the forward still runs the fast kernel.
+    q, k, v, bias = res
+    _, vjp = jax.vjp(lambda qq, kk, vv, bb: _xla_attention(qq, kk, vv, bb, scale),
+                     q, k, v, bias)
+    return vjp(g)
+
+
+_fused_attention_diff.defvjp(_fad_fwd, _fad_bwd)
+
+
 def dot_product_attention(q, k, v, bias=None, scale=None):
     """Drop-in for jax.nn.dot_product_attention that uses the fused Pallas
-    kernel on TPU-family backends (exact-match verified) and XLA elsewhere."""
+    kernel on TPU-family backends (exact-match verified; differentiable via
+    an XLA-recompute VJP) and XLA elsewhere."""
     try:
         backend = jax.default_backend()
     except RuntimeError:
         backend = "cpu"
     if backend in ("tpu", "axon") and q.shape[1] * k.shape[1] <= 1 << 22:
-        return fused_attention(q, k, v, bias=bias, scale=scale)
+        return _fused_attention_diff(q, k, v, bias, scale)
     return jax.nn.dot_product_attention(q, k, v, bias=bias, scale=scale)

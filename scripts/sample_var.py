@@ -49,8 +49,10 @@ def main():
     restored = ocp.StandardCheckpointer().restore(Path(args.var_ckpt).absolute())
     var_params = restored.get("ema_params") or restored["params"]
 
-    sample_fn = jax.jit(lambda vp, lb, k: var_sample(
-        var, vp, vae, vae_params, lb, k, cfg_scale=args.cfg,
+    # vae_params passed as an argument (closing over them bakes the weights
+    # into the HLO as constants — enormous graphs)
+    sample_fn = jax.jit(lambda vp, vaep, lb, k: var_sample(
+        var, vp, vae, vaep, lb, k, cfg_scale=args.cfg,
         top_k=args.top_k, top_p=args.top_p, joint_sample=args.joint_sample))
 
     labels = np.tile(np.arange(args.num_classes),
@@ -62,7 +64,7 @@ def main():
         if len(lb) < args.batch_size:
             lb = jnp.pad(lb, (0, args.batch_size - len(lb)))
         key, k = jax.random.split(key)
-        imgs = sample_fn(var_params, lb, k)  # [0,1]
+        imgs = sample_fn(var_params, vae_params, lb, k)  # [0,1]
         u8 = np.asarray(jnp.clip(imgs * 255.0 + 0.5, 0, 255)).astype(np.uint8)
         out.append(u8[:min(args.batch_size, len(labels) - i)])
     arr = np.concatenate(out)[:args.num_samples]
