@@ -87,7 +87,16 @@ class ImageFolderSource:
         return len(self.files)
 
     def __getitem__(self, idx: int):
-        img = Image.open(self.files[idx]).convert("RGB")
+        # bad-image retry (reference dataset/openimage.py:24-30): fall back to
+        # a neighbouring record instead of killing the worker
+        for attempt in range(4):
+            try:
+                img = Image.open(self.files[idx]).convert("RGB")
+                break
+            except Exception:
+                idx = (idx + 1) % len(self.files)
+        else:
+            img = Image.new("RGB", (self.image_size, self.image_size))
         rng = np.random.default_rng((hash(self.files[idx]) ^ idx) & 0x7FFFFFFF)
         if self.train:
             arr = random_crop_arr(img, self.image_size, rng)

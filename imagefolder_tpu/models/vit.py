@@ -245,6 +245,7 @@ class ViTBackbone(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_rope: bool = False
     num_latent_tokens: int = 0  # only used by rope blocks
+    remat: bool = False  # activation checkpointing per block
 
     @property
     def grid(self):
@@ -316,7 +317,12 @@ class ViTBackbone(nn.Module):
         if self.pre_norm:
             x = self.norm_pre(x)
         for blk in self.blocks:
-            x = blk(x, mask)
+            if self.remat:
+                # trade FLOPs for HBM (reference use_checkpoint /
+                # grad_ckpt flags; here via jax rematerialization)
+                x = nn.remat(type(blk).__call__)(blk, x, mask)
+            else:
+                x = blk(x, mask)
         return self.norm(x)
 
     def __call__(self, img):

@@ -158,6 +158,10 @@ def _codebook_lookup(rest_NC: jnp.ndarray, codebook_VC: jnp.ndarray, znorm: bool
     (quant.py:98-101). fp32 MXU; fused Pallas kernel on TPU for large N*V."""
     from imagefolder_tpu.ops.pallas.codebook import codebook_argmin
 
+    # index selection is non-differentiable; stop gradients so the Pallas
+    # kernel is never pulled into a JVP/VJP trace
+    rest_NC = jax.lax.stop_gradient(rest_NC)
+    codebook_VC = jax.lax.stop_gradient(codebook_VC)
     n, v = rest_NC.shape[0], codebook_VC.shape[0]
     if znorm:
         rest = rest_NC / (jnp.linalg.norm(rest_NC, axis=-1, keepdims=True) + 1e-12)
