@@ -221,20 +221,22 @@ class TokenizerTrainer:
             disc_opt_state=self.disc_tx.init(new_disc))
 
     # ------------------------------------------------------------------ #
-    def _disc_apply(self, disc_params, disc_vars, imgs, rng, update_stats):
+    def _disc_apply(self, disc_params, disc_vars, imgs, rng, update_stats,
+                    train=True):
+        """Run the discriminator. ``train`` controls batch-stat semantics
+        (the reference keeps the disc module in train mode during BOTH the
+        generator and discriminator passes); ``update_stats`` controls
+        whether the new spectral-norm/BN state is kept."""
         variables = {"params": disc_params, **disc_vars}
-        mutable = list(disc_vars.keys()) if update_stats else False
-        kwargs = {}
         if isinstance(self.disc, DinoDisc):
-            kwargs = dict(rng=rng, train=update_stats)
+            kwargs = dict(rng=rng, train=train)
         else:
-            kwargs = dict(train=update_stats)
-        if mutable:
-            out, new_vars = self.disc.apply(variables, imgs, mutable=mutable, **kwargs)
-            return out, dict(new_vars)
-        # immutable path still needs mutable for BN/spectral in train mode:
-        out, _ = self.disc.apply(variables, imgs, mutable=list(disc_vars.keys()),
-                                 **kwargs)
+            kwargs = dict(train=train)
+        if disc_vars:
+            out, new_vars = self.disc.apply(
+                variables, imgs, mutable=list(disc_vars.keys()), **kwargs)
+            return out, (dict(new_vars) if update_stats else disc_vars)
+        out = self.disc.apply(variables, imgs, **kwargs)
         return out, disc_vars
 
     def _aug(self, imgs, key, fade_blur: float):

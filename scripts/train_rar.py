@@ -1,12 +1,14 @@
-"""RAR generator training CLI (reference ``scripts/train_rar.py`` +
-``utils/train_utils.py:641``).
+"""RAR / MaskGIT generator training CLI (reference ``scripts/train_rar.py``
++ ``utils/train_utils.py:641``, model_type rar|maskgit).
 
 Fast path: pretokenized JSONL (from scripts/pretokenize.py). On-the-fly
-tokenization is supported with --vq_ckpt.
+tokenization: pass --config + --vq_ckpt + --data_path instead of --jsonl
+(reference train_utils.py:676-686).
 
 Usage:
-    python scripts/train_rar.py --jsonl pretokenized.jsonl \
-        [--hidden 768 --depth 24 --heads 16] [key=value ...]
+    python scripts/train_rar.py --jsonl pretokenized.jsonl [--model rar]
+    python scripts/train_rar.py --config configs/RobustTok.yaml \
+        --vq_ckpt ckpt --data_path /data/train --model maskgit
 """
 
 from __future__ import annotations
@@ -49,7 +51,11 @@ class JsonlTokens:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--jsonl", required=True)
+    ap.add_argument("--jsonl", default=None)
+    ap.add_argument("--config", default=None, help="tokenizer yaml (on-the-fly)")
+    ap.add_argument("--vq_ckpt", default=None)
+    ap.add_argument("--data_path", default=None)
+    ap.add_argument("--model", choices=["rar", "maskgit"], default="rar")
     ap.add_argument("--output", default="output/rar")
     ap.add_argument("--hidden", type=int, default=768)
     ap.add_argument("--depth", type=int, default=24)
@@ -72,10 +78,20 @@ def main():
     from imagefolder_tpu.utils.logging import MetricLogger, create_logger
 
     logger = create_logger(args.output)
-    data = JsonlTokens(args.jsonl)
-    seq_len = len(data.rows[0]["tokens"])
-    logger.info(f"{len(data)} pretokenized rows, seq_len={seq_len}")
+    if args.jsonl:
+        data = JsonlTokens(args.jsonl)
+        seq_len = len(data.rows[0]["tokens"])
+        batches = data.batches(args.batch_size)
+        logger.info(f"{len(data)} pretokenized rows, seq_len={seq_len}")
+    else:
+        assert args.config and args.vq_ckpt and args.data_path, \
+            "on-the-fly mode needs --config --vq_ckpt --data_path"
+        batches, seq_len, codebook_size = _online_tokens(args)
+        args.codebook_size = codebook_size
+        logger.info(f"on-the-fly tokenization, seq_len={seq_len}")
 
+    if args.model == "maskgit":
+        return _train_maskgit(args, batches, seq_len, logger)
     rar = RAR(RARConfig(embed_dim=args.hidden, depth=args.depth,
                         num_heads=args.heads, image_seq_len=seq_len,
                         codebook_size=args.codebook_size,
@@ -97,7 +113,7 @@ def main():
         logger.info(f"resumed at {start}")
 
     mlog = MetricLogger(logger, args.log_every)
-    it = data.batches(args.batch_size)
+    it = batches
     for step in range(start, args.total_steps):
         toks, labels = next(it)
         ratio = get_rar_random_ratio(tcfg.random_ratio_anneal_start,
@@ -114,6 +130,89 @@ def main():
         if (step + 1) % args.ckpt_every == 0:
             ckpt.save(step + 1, jax.device_get(state))
     ckpt.save(args.total_steps, jax.device_get(state))
+    ckpt.wait()
+
+
+def _online_tokens(args):
+    """On-the-fly tokenization stream (reference train_utils.py:676-686)."""
+    import jax
+    import jax.numpy as jnp
+
+    from imagefolder_tpu.data.imagenet import make_dataloader
+    from imagefolder_tpu.models.tokenizer import VQModel
+    from imagefolder_tpu.utils.config import load_tokenizer_config
+    from scripts.pretokenize import _load_params
+
+    margs, _, run = load_tokenizer_config(args.config)
+    model = VQModel(margs)
+    params = _load_params(args.vq_ckpt, model, margs)
+    enc = jax.jit(lambda p, x: model.apply({"params": p}, x,
+                                           method=VQModel.encode_to_tokens))
+    seq_len = margs.num_latent_tokens * margs.product_quant
+
+    def gen():
+        loader = make_dataloader(args.data_path, args.batch_size,
+                                 margs.image_size, train=True)
+        while True:
+            for b in loader:
+                toks = enc(params, jnp.asarray(b["image"]))
+                yield jax.device_get(toks), b["label"]
+
+    return gen(), seq_len, margs.codebook_size
+
+
+def _train_maskgit(args, batches, seq_len, logger):
+    """MaskGIT masked-modeling loop (reference model_type='maskgit')."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from imagefolder_tpu.models.maskgit import (
+        MaskGIT, MaskGITConfig, mask_input_tokens, mlm_loss)
+    from imagefolder_tpu.parallel.mesh import make_mesh, replicate
+    from imagefolder_tpu.utils.ckpt import CheckpointManager
+    from imagefolder_tpu.utils.logging import MetricLogger
+
+    cfg = MaskGITConfig(embed_dim=args.hidden, depth=args.depth,
+                        num_heads=args.heads, image_seq_len=seq_len,
+                        codebook_size=args.codebook_size,
+                        dtype_str="bfloat16")
+    model = MaskGIT(cfg)
+    key = jax.random.PRNGKey(0)
+    toks0 = jnp.zeros((2, seq_len), jnp.int32)
+    params = model.init({"params": key}, toks0, jnp.zeros((2,), jnp.int32),
+                        rng=key)["params"]
+    tx = optax.adamw(optax.warmup_cosine_decay_schedule(
+        0.0, 2e-4, args.total_steps // 20, args.total_steps), weight_decay=0.03)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt, toks, labels, k):
+        k1, k2 = jax.random.split(k)
+        masked, masks = mask_input_tokens(toks, k1, cfg.mask_token_id)
+
+        def loss_fn(p):
+            logits = model.apply({"params": p}, masked, labels,
+                                 cond_drop_prob=0.1, rng=k2)
+            return mlm_loss(logits, toks, masks)
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, upd), opt, loss, acc
+
+    ckpt = CheckpointManager(args.output)
+    mlog = MetricLogger(logger, args.log_every)
+    for step in range(args.total_steps):
+        toks, labels = next(batches)
+        params, opt, loss, acc = step_fn(params, opt, jnp.asarray(toks),
+                                         jnp.asarray(labels),
+                                         jax.random.fold_in(key, step))
+        if (step + 1) % args.log_every == 0:
+            mlog.update(loss=float(loss), correct_tokens=float(acc))
+            mlog.log(step + 1, args.total_steps)
+        if (step + 1) % args.ckpt_every == 0:
+            ckpt.save(step + 1, jax.device_get({"params": params}))
+    ckpt.save(args.total_steps, jax.device_get({"params": params}))
     ckpt.wait()
 
 
