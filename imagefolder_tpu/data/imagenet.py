@@ -59,6 +59,24 @@ def random_crop_arr(pil_image: Image.Image, image_size: int,
     return arr[cy:cy + image_size, cx:cx + image_size]
 
 
+def _random_crop_plan(pil_image, image_size: int, rng):
+    """ADM random-crop resize plan: returns (resized uint8 array, oy, ox)
+    so the crop itself can run in the fused native op."""
+    min_s = math.ceil(image_size / 1.0)
+    max_s = math.ceil(image_size / 0.8)
+    smaller = int(rng.integers(min_s, max_s + 1))
+    while min(*pil_image.size) >= 2 * smaller:
+        pil_image = pil_image.resize(
+            tuple(x // 2 for x in pil_image.size), resample=Image.BOX)
+    scale = smaller / min(*pil_image.size)
+    pil_image = pil_image.resize(
+        tuple(round(x * scale) for x in pil_image.size), resample=Image.BICUBIC)
+    arr = np.asarray(pil_image)
+    oy = int(rng.integers(arr.shape[0] - image_size + 1))
+    ox = int(rng.integers(arr.shape[1] - image_size + 1))
+    return arr, oy, ox
+
+
 def list_image_folder(root: str) -> Tuple[List[str], List[int], List[str]]:
     """torchvision-ImageFolder-compatible scan: class dirs sorted
     lexicographically -> class ids."""
@@ -98,15 +116,18 @@ class ImageFolderSource:
         else:
             img = Image.new("RGB", (self.image_size, self.image_size))
         rng = np.random.default_rng((hash(self.files[idx]) ^ idx) & 0x7FFFFFFF)
+        from imagefolder_tpu.data._native import crop_flip_normalize
+
         if self.train:
-            arr = random_crop_arr(img, self.image_size, rng)
-            if self.hflip and rng.random() < 0.5:
-                arr = arr[:, ::-1]
+            # resize per ADM schedule, then fused native crop+flip+normalize
+            arr, oy, ox = _random_crop_plan(img, self.image_size, rng)
+            flip = bool(self.hflip and rng.random() < 0.5)
+            x = crop_flip_normalize(arr, oy, ox, self.image_size, flip)
         else:
             arr = center_crop_arr(img, self.image_size)
-        x = arr.astype(np.float32) / 255.0 * 2.0 - 1.0  # [-1, 1], HWC
-        return {"image": np.ascontiguousarray(x),
-                "label": np.int32(self.labels[idx])}
+            x = crop_flip_normalize(np.ascontiguousarray(arr), 0, 0,
+                                    self.image_size, False)
+        return {"image": x, "label": np.int32(self.labels[idx])}
 
 
 def make_dataloader(root: str, batch_size: int, image_size: int = 256, *,

@@ -104,6 +104,7 @@ class ModelArgs:
     dec_tuning_method: str = "full"
     lora_rank: int = 8
     perturb_delta_max: int = 0  # RobustTok: static top-k budget (config delta)
+    remat: bool = False  # activation checkpointing on ViT blocks
     dtype_str: str = "float32"  # activation dtype: float32 | bfloat16
 
     @property
@@ -165,7 +166,7 @@ class VQModel(nn.Module):
                 patch_size=16, num_latent_tokens=cfg.total_latent_tokens,
                 product_quant=cfg.product_quant, abs_pos_embed=cfg.abs_pos_embed,
                 tuning_method=cfg.enc_tuning_method, lora_rank=cfg.lora_rank,
-                dtype=dt, name="encoder",
+                remat=cfg.remat, dtype=dt, name="encoder",
             )
             enc_dim = self.encoder.embed_dim
         else:
@@ -188,7 +189,7 @@ class VQModel(nn.Module):
                 model_name=cfg.decoder_model, img_size=cfg.image_size,
                 patch_size=16, num_latent_tokens=cfg.num_latent_tokens,
                 abs_pos_embed=cfg.abs_pos_embed, tuning_method=cfg.dec_tuning_method,
-                lora_rank=cfg.lora_rank, dtype=dt, name="decoder",
+                lora_rank=cfg.lora_rank, remat=cfg.remat, dtype=dt, name="decoder",
             )
             dec_dim = self.decoder.embed_dim
         else:

@@ -364,6 +364,7 @@ class LatentEncoder(nn.Module):
     abs_pos_embed: bool = True
     tuning_method: str = "full"  # full | frozen | lora (optimizer handles it)
     lora_rank: int = 0
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -378,7 +379,8 @@ class LatentEncoder(nn.Module):
         rank = self.lora_rank if self.tuning_method == "lora" else 0
         self.model = ViTBackbone(
             **_backbone_kwargs(self.model_name, self.img_size, self.patch_size,
-                               rank, self.dtype), name="model",
+                               rank, self.dtype), remat=self.remat,
+            name="model",
         )
         d = self.embed_dim
         self.latent_tokens = self.param(
@@ -440,6 +442,7 @@ class LatentDecoder(nn.Module):
     lora_rank: int = 0
     out_channels: int = 3
     use_rope: bool = False
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -455,6 +458,7 @@ class LatentDecoder(nn.Module):
                                rank, self.dtype),
             use_rope=self.use_rope,
             num_latent_tokens=self.num_latent_tokens if self.use_rope else 0,
+            remat=self.remat,
             name="model",
         )
         d = self.embed_dim

@@ -81,8 +81,10 @@ def fused_attention(q, k, v, bias: Optional[jnp.ndarray] = None,
     lk = k.shape[1]
     if scale is None:
         scale = 1.0 / math.sqrt(hd)
+    # block second-to-last dims need 8-alignment only; the (Lq, Lk) scores
+    # are a VMEM intermediate, not a block, so Lk needs no 128-alignment
     lqp = -(-lq // 8) * 8
-    lkp = -(-lk // 128) * 128
+    lkp = -(-lk // 8) * 8
 
     def to_bh(x, lp):
         x = _pad_to(x, lp, 1)

@@ -62,6 +62,7 @@ _MODEL_KEYS = {
     "sem_loss_scale", "detail_loss_scale", "guide_type_1", "guide_type_2",
     "lfq", "scale", "soft_entropy", "dependency_loss_weight", "image_size",
     "enc_tuning_method", "dec_tuning_method", "lora_rank", "dtype_str",
+    "remat",
 }
 _TRAIN_KEYS = {
     "lr", "disc_lr", "epochs", "lr_scheduler", "weight_decay",

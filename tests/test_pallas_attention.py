@@ -1,0 +1,50 @@
+"""Fused attention kernel: interpret-mode parity with XLA attention
+(compiled-TPU exactness is covered by the verify drives)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from imagefolder_tpu.ops.pallas.attention import fused_attention
+
+
+@pytest.mark.parametrize("lq,lk", [(37, 37), (16, 48), (513, 513)])
+def test_interpret_matches_xla(lq, lk):
+    key = jax.random.PRNGKey(0)
+    b, h, hd = 2, 3, 64
+    q = jax.random.normal(key, (b, lq, h, hd))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, lk, h, hd))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, lk, h, hd))
+    want = jax.nn.dot_product_attention(q, k, v)
+    got = fused_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_interpret_with_bias_and_grad():
+    key = jax.random.PRNGKey(0)
+    b, l, h, hd = 2, 12, 2, 64
+    q = jax.random.normal(key, (b, l, h, hd))
+    bias = jnp.where(jnp.arange(l)[:, None] >= jnp.arange(l)[None, :],
+                     0.0, -jnp.inf)[None, None]
+    want = jax.nn.dot_product_attention(q, q, q, bias=bias)
+    got = fused_attention(q, q, q, bias=bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # the dispatching wrapper is differentiable (XLA-recompute VJP)
+    from imagefolder_tpu.ops.pallas.attention import _fused_attention_diff
+
+    def loss(qq):
+        return jnp.sum(jax.nn.dot_product_attention(qq, qq, qq) ** 2)
+
+    g_want = jax.grad(loss)(q)
+    # on CPU the wrapper routes to XLA; check gradient parity of the custom
+    # vjp path directly in interpret-land is covered by the XLA recompute,
+    # so just assert finiteness through the public wrapper
+    from imagefolder_tpu.ops.pallas.attention import dot_product_attention
+
+    g = jax.grad(lambda qq: jnp.sum(dot_product_attention(qq, qq, qq) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_want), rtol=1e-4,
+                               atol=1e-5)
