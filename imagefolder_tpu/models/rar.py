@@ -42,6 +42,7 @@ class RARConfig:
     condition_num_classes: int = 1000
     dropout: float = 0.1
     attn_dropout: float = 0.1
+    remat: bool = False
     dtype_str: str = "float32"
 
     @property
@@ -238,7 +239,10 @@ class RAR(nn.Module):
 
         x = x.astype(cfg.dtype)
         for blk in self.blocks:
-            x, _ = blk(x, cond_token, mask=causal)
+            if cfg.remat:
+                x, _ = nn.remat(type(blk).__call__)(blk, x, cond_token, causal)
+            else:
+                x, _ = blk(x, cond_token, mask=causal)
         x = x[:, prefix - 1:]
         cond_token = cond_token[:, prefix - 1:]
         logits = self._final_head(x, cond_token)

@@ -51,6 +51,7 @@ class VARConfig:
     attn_l2_norm: bool = False
     patch_nums: Sequence[int] = (1, 2, 3, 4, 5, 6, 8, 10, 13, 16)
     p_drop: float = 0.15     # MLM-style token dropout budget (var.py:130)
+    remat: bool = False      # activation checkpointing per block
     dtype_str: str = "float32"
 
     @property
@@ -303,7 +304,11 @@ class VAR(nn.Module):
         cond_or_gss = self._cond(cond_BD)
         x = x.astype(cfg.dtype)
         for blk in self.blocks:
-            x, _ = blk(x, cond_or_gss, attn_bias=self.attn_bias, train=train)
+            if cfg.remat:
+                x, _ = nn.remat(type(blk).__call__, static_argnums=(5,))(
+                    blk, x, cond_or_gss, self.attn_bias, None, train)
+            else:
+                x, _ = blk(x, cond_or_gss, attn_bias=self.attn_bias, train=train)
         return self.head(self.head_nm(x, cond_BD)).astype(jnp.float32)
 
     # ------------------------------ decoding ------------------------------ #

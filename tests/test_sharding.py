@@ -1,0 +1,111 @@
+"""Multi-device sharding: the dp/fsdp-sharded train step must reproduce the
+single-device numerics (XLA inserts the collectives; semantics are
+global-batch)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imagefolder_tpu.models.tokenizer import ModelArgs
+from imagefolder_tpu.parallel.mesh import (
+    fsdp_shard_params,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from imagefolder_tpu.train.tokenizer_train import (
+    TokenizerTrainConfig,
+    TokenizerTrainer,
+)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _trainer():
+    margs = ModelArgs(
+        codebook_size=32, codebook_embed_dim=8,
+        encoder_ch_mult=(1, 2), decoder_ch_mult=(1, 2), z_channels=32,
+        enc_type="cnn", dec_type="cnn", semantic_guide="none",
+        detail_guide="none", num_latent_tokens=256, image_size=32,
+        v_patch_nums=(1, 16), start_drop=1,
+    )
+    tcfg = TokenizerTrainConfig(disc_type="patchgan", disc_start=0,
+                                disc_adaptive_weight=True, epochs=1,
+                                steps_per_epoch=2, image_size=32)
+    return TokenizerTrainer(margs, tcfg)
+
+
+def test_sharded_step_matches_single_device():
+    tr = _trainer()
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (8, 32, 32, 3), minval=-1, maxval=1)
+    state = tr.init(key, imgs[:2])
+
+    # single-device baseline
+    s1, m1 = tr.train_step(state, imgs, jax.random.PRNGKey(1), epoch=0)
+
+    # dp(4) x fsdp(2) mesh: batch sharded, large params fsdp-sharded
+    mesh = make_mesh(("data", "fsdp"), (4, 2))
+    sh_imgs = shard_batch(imgs, mesh)
+    params_sh = fsdp_shard_params(state.params, mesh, min_size=2 ** 10)
+    state_sh = state.__class__(
+        params=jax.tree.map(jax.device_put, state.params, params_sh),
+        opt_state=replicate(state.opt_state, mesh),
+        ema_params=jax.tree.map(jax.device_put, state.ema_params, params_sh),
+        lpips_params=replicate(state.lpips_params, mesh),
+        disc_params=replicate(state.disc_params, mesh),
+        disc_vars=replicate(state.disc_vars, mesh),
+        disc_opt_state=replicate(state.disc_opt_state, mesh),
+        lecam=replicate(state.lecam, mesh),
+        usage_ema=replicate(state.usage_ema, mesh),
+        record_hit=replicate(state.record_hit, mesh),
+        step=replicate(state.step, mesh),
+    )
+    s2, m2 = tr.train_step(state_sh, sh_imgs, jax.random.PRNGKey(1), epoch=0)
+
+    for k in ("gen_loss", "disc_loss", "rec_loss", "vq_loss"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=5e-4,
+                                   atol=1e-5), k
+    # updated params agree (collectives correct), spot-check a couple leaves
+    l1 = jax.tree.leaves(s1.params)
+    l2 = jax.tree.leaves(jax.device_get(s2.params))
+    for a, b in list(zip(l1, l2))[::7]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
+                                   atol=1e-4)
+
+
+def test_var_sharded_step_matches():
+    from imagefolder_tpu.models.tokenizer import VQModel
+    from imagefolder_tpu.models.var import VAR, VARConfig
+    from imagefolder_tpu.train.var_train import VARTrainConfig, VARTrainer
+
+    margs = ModelArgs(
+        codebook_size=32, codebook_embed_dim=8,
+        encoder_ch_mult=(1, 2), decoder_ch_mult=(1, 2), z_channels=32,
+        enc_type="cnn", dec_type="cnn", semantic_guide="none",
+        detail_guide="none", num_latent_tokens=9, image_size=6,
+        v_patch_nums=(1, 2, 3),
+    )
+    vae = VQModel(margs)
+    var = VAR(VARConfig(vocab_size=32, Cvae=8, num_classes=10, depth=2,
+                        embed_dim=64, num_heads=2, patch_nums=(1, 2, 3),
+                        drop_path_rate=0.0, cond_drop_rate=0.0, p_drop=0.0))
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (8, 6, 6, 3), minval=-1, maxval=1)
+    labels = jnp.arange(8) % 10
+    vae_params = vae.init(key, imgs[:2], train=False)["params"]
+    tr = VARTrainer(vae, var, VARTrainConfig(total_steps=10, warmup_steps=2))
+    state = tr.init(key, vae_params, imgs[:2])
+    s1, m1 = tr.train_step(state, imgs, labels, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(("data",), (8,))
+    state_sh = replicate(state, mesh)
+    batch = shard_batch({"x": imgs, "y": labels}, mesh)
+    s2, m2 = tr.train_step(state_sh, batch["x"], batch["y"],
+                           jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m1["acc_mean"]), float(m2["acc_mean"]),
+                               rtol=1e-4)
