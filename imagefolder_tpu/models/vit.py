@@ -442,6 +442,7 @@ class LatentDecoder(nn.Module):
     lora_rank: int = 0
     out_channels: int = 3
     use_rope: bool = False
+    cond_latent: bool = False  # mask-token conditioning on pooled latents
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -473,6 +474,16 @@ class LatentDecoder(nn.Module):
             )
         self.pixel_head = ToPixel(self.img_size, self.patch_size, self.out_channels,
                                   name="to_pixel")
+        if self.cond_latent:
+            d = self.embed_dim
+            # timm Mlp(d, d, norm_layer=LayerNorm): fc1 -> gelu -> norm -> fc2
+            self.cl_mlp1_fc1 = nn.Dense(d, param_dtype=jnp.float32, name="cl_mlp1_fc1")
+            self.cl_mlp1_norm = nn.LayerNorm(epsilon=1e-6, name="cl_mlp1_norm")
+            self.cl_mlp1_fc2 = nn.Dense(d, param_dtype=jnp.float32, name="cl_mlp1_fc2")
+            self.cl_mlp2_fc1 = nn.Dense(d, param_dtype=jnp.float32, name="cl_mlp2_fc1")
+            self.cl_mlp2_norm = nn.LayerNorm(epsilon=1e-6, name="cl_mlp2_norm")
+            self.cl_mlp2_fc2 = nn.Dense(d, param_dtype=jnp.float32, name="cl_mlp2_fc2")
+            self.cl_norm1 = nn.LayerNorm(epsilon=1e-6, name="cl_norm1")
 
     # adaptive-GAN-weight anchor (reference DINOv2Decoder.last_layer)
     last_layer_param_path = ("to_pixel", "proj", "kernel")
@@ -495,6 +506,16 @@ class LatentDecoder(nn.Module):
             out = self.pixel_head(x)
             return (out, x) if return_prelast else out
         x = m.pos_embed_tokens(x)  # (B, 1+N, D)
+        if self.cond_latent:
+            # latent-pooled conditioning of the mask tokens (dinov2.py:323-325)
+            zm = jnp.mean(z, axis=1, keepdims=True)
+            h1 = self.cl_mlp1_fc2(self.cl_mlp1_norm(
+                nn.gelu(self.cl_mlp1_fc1(zm), approximate=False)))
+            ffnout = x + h1
+            h2 = self.cl_mlp2_fc2(self.cl_mlp2_norm(
+                nn.gelu(self.cl_mlp2_fc1(self.cl_norm1(ffnout)),
+                        approximate=False)))
+            x = x + h2
         if self.abs_pos_embed:
             g = int(math.sqrt(self.num_latent_tokens))
             assert g * g == self.num_latent_tokens

@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--inception_ckpt", type=str, default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--wandb", action="store_true")
+    ap.add_argument("--profile_steps", type=int, default=0,
+                    help="capture a jax.profiler trace for N early steps")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -120,9 +122,14 @@ def main():
                 fade = round(1 - fade, 3)
             else:
                 fade = 0.0
+            if args.profile_steps and step == 2:
+                jax.profiler.start_trace(f"{run.cloud_save_path}/profile")
             state, metrics = trainer.train_step(
                 state, imgs, jax.random.fold_in(key, step), epoch=epoch,
                 alpha=alpha, beta=run.beta, delta_ratio=ratio, fade_blur=fade)
+            if args.profile_steps and step == 2 + args.profile_steps:
+                jax.tree.map(lambda a: a.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
             step += 1
             if step % run.log_every == 0:
                 host = {k: float(v) for k, v in metrics.items()}
