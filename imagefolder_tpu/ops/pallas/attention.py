@@ -100,11 +100,21 @@ def fused_attention(q, k, v, bias: Optional[jnp.ndarray] = None,
                           memory_space=pltpu.VMEM)]
     args = [qb, kb, vb]
     if bias is not None:
-        bias_f = jnp.broadcast_to(bias.astype(jnp.float32), (b, h, lq, lk))
-        bias_f = _pad_to(_pad_to(bias_f, lqp, 2), lkp, 3)
-        bias_f = bias_f.reshape(b * h, lqp, lkp)
-        specs.append(pl.BlockSpec((1, lqp, lkp), lambda i: (i, 0, 0),
-                                  memory_space=pltpu.VMEM))
+        shared = bias.shape[0] == 1 and bias.shape[1] == 1
+        if shared:
+            # one (Lq, Lk) mask shared by every (batch, head): keep a single
+            # copy in HBM (e.g. VAR's block-causal mask — broadcasting it
+            # would materialize B*H*L^2 floats)
+            bias_f = _pad_to(_pad_to(bias.astype(jnp.float32), lqp, 2),
+                             lkp, 3).reshape(1, lqp, lkp)
+            specs.append(pl.BlockSpec((1, lqp, lkp), lambda i: (0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        else:
+            bias_f = jnp.broadcast_to(bias.astype(jnp.float32), (b, h, lq, lk))
+            bias_f = _pad_to(_pad_to(bias_f, lqp, 2), lkp, 3)
+            bias_f = bias_f.reshape(b * h, lqp, lkp)
+            specs.append(pl.BlockSpec((1, lqp, lkp), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
         args.append(bias_f)
         kern = functools.partial(_kernel_bias, scale=scale, lq=lq, lk=lk)
     else:
