@@ -1,0 +1,16 @@
+# imagefolder_tpu developer entry points
+
+test:            ## full suite on forced CPU (8 virtual devices)
+	python -m pytest tests/ -q
+
+bench:           ## one-line throughput benchmark on the attached TPU
+	python bench.py
+
+dryrun:          ## multi-chip sharding dry run on 8 virtual CPU devices
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+entry:           ## single-chip compile check of the flagship forward
+	python __graft_entry__.py
+
+.PHONY: test bench dryrun entry

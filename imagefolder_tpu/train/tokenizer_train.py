@@ -159,7 +159,7 @@ class TokenizerTrainer:
             g_sched = cosine_with_warmup(tcfg.lr, tcfg.steps_per_epoch, total, tcfg.min_lr)
             d_sched = cosine_with_warmup(
                 tcfg.disc_lr, int(0.02 * tcfg.epochs) * tcfg.steps_per_epoch,
-                total - tcfg.disc_start, tcfg.min_lr)
+                max(total - tcfg.disc_start, 1), tcfg.min_lr)
         else:
             g_sched, d_sched = (lambda s: tcfg.lr), (lambda s: tcfg.disc_lr)
         self.gen_tx = adamw_with_freezing(
