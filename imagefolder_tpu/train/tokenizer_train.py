@@ -327,8 +327,12 @@ class TokenizerTrainer:
                                                 update_stats=True)
             base = self.d_loss(logits_real, logits_fake)
             if tcfg.lecam_loss_weight:
+                # reference updates the EMA first, then regularizes against
+                # the UPDATED values (vq_loss.py:239-241); the EMA terms are
+                # detached there (.item() host floats)
                 new_lecam = lecam_update(state.lecam, logits_real, logits_fake)
-                reg = lecam_reg(logits_real, logits_fake, state.lecam)
+                reg = lecam_reg(logits_real, logits_fake,
+                                jax.lax.stop_gradient(new_lecam))
                 d_loss = disc_w * (reg * tcfg.lecam_loss_weight + base)
             else:
                 new_lecam = state.lecam
