@@ -11,27 +11,56 @@ we use 300 img/s as a generous estimate for torch bf16 ViT-B enc+dec at
 256px including the python-side multiscale loop). The north-star asks for
 >= 5x at rFID parity, i.e. vs_baseline >= 5.
 
-Prints exactly one JSON line.
+Robustness: one transient backend failure must never zero a round's
+evidence. Every device interaction is wrapped in retry-with-backoff; on
+unrecoverable failure we still print exactly ONE valid JSON line with
+``value: null`` and an ``error`` field instead of a traceback.
+
+Prints exactly one JSON line on stdout (diagnostics go to stderr).
 """
 
 import json
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
+import traceback
 
 TORCH_REFERENCE_IMG_PER_SEC = 300.0  # documented estimate, see module docstring
 BATCH = 64
 ITERS = 20
+RETRIES = 4
+BACKOFF_S = 15.0
+
+RESULT_TEMPLATE = {
+    "metric": "tokenizer_encode_decode_images_per_sec_per_chip",
+    "value": None,
+    "unit": "img/s/chip (VQ-4096 ViT-B enc+dec, 256px, bf16, B=64)",
+    "vs_baseline": None,
+}
 
 
-def _timed(fn, *args):
-    t0 = time.time()
-    float(fn(*args))  # scalar readback forces device completion
-    return time.time() - t0
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
-def main():
+def _with_retries(tag, fn):
+    """Run fn() retrying transient backend failures with backoff."""
+    last = None
+    for attempt in range(RETRIES):
+        try:
+            return fn()
+        except Exception as e:  # JaxRuntimeError etc. — retry everything
+            last = e
+            _log(f"[bench] {tag} attempt {attempt + 1}/{RETRIES} failed: "
+                 f"{type(e).__name__}: {e}")
+            if attempt + 1 < RETRIES:
+                time.sleep(BACKOFF_S * (attempt + 1))
+    raise last
+
+
+def _run():
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
     from imagefolder_tpu.models.tokenizer import ModelArgs, VQModel
 
     margs = ModelArgs(
@@ -51,8 +80,13 @@ def main():
     )
     model = VQModel(margs)
     key = jax.random.PRNGKey(0)
-    x = jax.random.uniform(key, (BATCH, 256, 256, 3), minval=-1, maxval=1)
-    variables = jax.jit(lambda k, xx: model.init(k, xx, train=False))(key, x)
+
+    def make_inputs():
+        x = jax.random.uniform(key, (BATCH, 256, 256, 3), minval=-1, maxval=1)
+        variables = jax.jit(lambda k, xx: model.init(k, xx, train=False))(key, x)
+        return variables, x
+
+    variables, x = _with_retries("init", make_inputs)
 
     def recon(v, xx):
         return model.apply(v, xx, method=VQModel.img_to_reconstructed_img)
@@ -72,20 +106,39 @@ def main():
         return fn
 
     short, long_ = chained(1), chained(1 + ITERS)
-    float(short(variables, x))  # compile
-    float(long_(variables, x))
+    _with_retries("compile short", lambda: float(short(variables, x)))
+    _with_retries("compile long", lambda: float(long_(variables, x)))
 
-    t1 = min(_timed(short, variables, x) for _ in range(3))
-    t2 = min(_timed(long_, variables, x) for _ in range(3))
+    def _timed(fn):
+        t0 = time.time()
+        float(fn(variables, x))  # scalar readback forces device completion
+        return time.time() - t0
+
+    t1 = _with_retries("time short",
+                       lambda: min(_timed(short) for _ in range(3)))
+    t2 = _with_retries("time long",
+                       lambda: min(_timed(long_) for _ in range(3)))
     dt = max(t2 - t1, 1e-9) / ITERS
-    img_per_sec = BATCH / dt
+    return BATCH / dt
 
-    print(json.dumps({
-        "metric": "tokenizer_encode_decode_images_per_sec_per_chip",
-        "value": round(img_per_sec, 2),
-        "unit": "img/s/chip (VQ-4096 ViT-B enc+dec, 256px, bf16, B=64)",
-        "vs_baseline": round(img_per_sec / TORCH_REFERENCE_IMG_PER_SEC, 3),
-    }))
+
+def main():
+    result = dict(RESULT_TEMPLATE)
+    try:
+        img_per_sec = _run()
+        result["value"] = round(img_per_sec, 2)
+        result["vs_baseline"] = round(
+            img_per_sec / TORCH_REFERENCE_IMG_PER_SEC, 3)
+    except Exception as e:
+        _log(traceback.format_exc())
+        try:
+            import jax
+            devs = str(jax.devices())
+        except Exception as de:
+            devs = f"<jax.devices() failed: {de}>"
+        result["error"] = f"{type(e).__name__}: {e}"
+        result["devices"] = devs
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
