@@ -81,7 +81,8 @@ class _Block(nn.Module):
         h = nn.Dense(int(d * self.mlp_ratio),
                      kernel_init=linear_kaiming_uniform, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc1")(h)
-        h = nn.gelu(h, approximate=False)
+        from imagefolder_tpu.ops.activations import gelu_exact
+        h = gelu_exact(h)
         h = nn.Dense(d, kernel_init=linear_kaiming_uniform, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc2")(h)
         return x + h

@@ -133,7 +133,8 @@ class RARBlock(nn.Module):
         h = nn.Dense(int(dim * self.mlp_ratio),
                      kernel_init=linear_kaiming_uniform, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc1")(h.astype(self.dtype))
-        h = nn.gelu(h, approximate=False)
+        from imagefolder_tpu.ops.activations import gelu_exact
+        h = gelu_exact(h)
         h = nn.Dense(dim, kernel_init=linear_kaiming_uniform, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc2")(h)
         x = x + g2 * h.astype(jnp.float32)

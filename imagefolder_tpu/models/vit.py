@@ -29,6 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from imagefolder_tpu.ops.activations import gelu_exact
 from imagefolder_tpu.ops.resize import resize
 from imagefolder_tpu.utils.torch_init import (
     linear_kaiming_uniform,
@@ -82,7 +83,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = LoRADense(self.hidden, self.lora_rank, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu_exact(x)
         x = LoRADense(self.out, self.lora_rank, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -103,16 +104,14 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
         b, n, c = x.shape
-        hd = c // self.num_heads
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias,
                        kernel_init=linear_kaiming_uniform,
                        dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
-        from imagefolder_tpu.ops.pallas.attention import dot_product_attention
+        # packed kernel: consumes the Dense output layout directly (no HBM
+        # transposes); falls back to XLA off-TPU or for per-head masks
+        from imagefolder_tpu.ops.pallas.attention import attention_qkv
 
-        out = dot_product_attention(q, k, v, bias=mask)
-        out = out.reshape(b, n, c)
+        out = attention_qkv(qkv, self.num_heads, bias=mask)
         return nn.Dense(c, kernel_init=linear_kaiming_uniform,
                         dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
 
@@ -170,6 +169,50 @@ class RoPEAttention(nn.Module):
                         dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
 
 
+class _DensePair(nn.Module):
+    """Declares nn.Dense-identical params (same path/init) without computing,
+    so fused Pallas sublayers can consume them directly."""
+
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", linear_kaiming_uniform, (self.din, self.dout))
+        b = self.param("bias", nn.initializers.zeros, (self.dout,))
+        return k, b
+
+
+class _AttnParams(nn.Module):
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        wq, bq = _DensePair(self.c, 3 * self.c, name="qkv")()
+        wp, bp = _DensePair(self.c, self.c, name="proj")()
+        return wq, bq, wp, bp
+
+
+class _LoraBase(nn.Module):
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        return _DensePair(self.din, self.dout, name="base")()
+
+
+class _MlpParams(nn.Module):
+    c: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _LoraBase(self.c, self.hidden, name="fc1")()
+        w2, b2 = _LoraBase(self.hidden, self.c, name="fc2")()
+        return w1, b1, w2, b2
+
+
 class Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
@@ -183,6 +226,30 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         c = x.shape[-1]
+        if (not self.use_rope) and self.lora_rank == 0 and (
+                self.init_values is not None):
+            # fused sublayer path: whole residual sublayers run as single
+            # Pallas kernels on TPU (XLA mirror elsewhere — numerically
+            # identical to the composed module path). Params are declared
+            # with the exact same tree as the composed path.
+            from imagefolder_tpu.ops.pallas.block import (
+                attn_sublayer,
+                mlp_sublayer,
+            )
+
+            act = self.dtype
+            xn = _ln("norm1", self.dtype)(x)
+            wq, bq, wp, bp = _AttnParams(c, name="attn")()
+            ls1 = self.param("ls1", nn.initializers.constant(self.init_values), (c,))
+            x = attn_sublayer(xn.astype(act), x, wq.astype(act), bq,
+                              wp.astype(act), bp, ls1, self.num_heads,
+                              mask=mask)
+            xn = _ln("norm2", self.dtype)(x)
+            w1, b1, w2, b2 = _MlpParams(c, int(c * self.mlp_ratio), name="mlp")()
+            ls2 = self.param("ls2", nn.initializers.constant(self.init_values), (c,))
+            return mlp_sublayer(xn.astype(act), x, w1.astype(act), b1,
+                                w2.astype(act), b2, ls2)
+
         if self.use_rope:
             attn = RoPEAttention(
                 self.num_heads, num_latent_tokens=self.num_latent_tokens,
@@ -510,11 +577,10 @@ class LatentDecoder(nn.Module):
             # latent-pooled conditioning of the mask tokens (dinov2.py:323-325)
             zm = jnp.mean(z, axis=1, keepdims=True)
             h1 = self.cl_mlp1_fc2(self.cl_mlp1_norm(
-                nn.gelu(self.cl_mlp1_fc1(zm), approximate=False)))
+                gelu_exact(self.cl_mlp1_fc1(zm))))
             ffnout = x + h1
             h2 = self.cl_mlp2_fc2(self.cl_mlp2_norm(
-                nn.gelu(self.cl_mlp2_fc1(self.cl_norm1(ffnout)),
-                        approximate=False)))
+                gelu_exact(self.cl_mlp2_fc1(self.cl_norm1(ffnout)))))
             x = x + h2
         if self.abs_pos_embed:
             g = int(math.sqrt(self.num_latent_tokens))

@@ -22,7 +22,144 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_attention"]
+__all__ = ["fused_attention", "attention_qkv"]
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout kernel: qkv in the natural Dense-output layout (B, N, 3C).
+#
+# The BNHD kernel above requires the caller to slice q/k/v out of the fused
+# qkv projection and transpose to (B*H, L, hd) — at ViT-B/B=64 those layout
+# moves cost ~30 ms per 12-block stack (measured), nearly 2x the attention
+# math itself. This kernel instead consumes the qkv tensor exactly as the
+# Dense layer produces it and emits (B, N, C) exactly as the out-projection
+# consumes it: zero HBM layout traffic. Head-splitting happens in VMEM via
+# static lane slices (cheap VPU relayouts).
+# ---------------------------------------------------------------------------
+
+
+def _qkv_kernel_impl(qkv_ref, b_ref, o_ref, *, scale, heads, n):
+    slab = qkv_ref[0]  # (Np, 3C) — rows >= n are uninitialized block padding
+    np_, c3 = slab.shape
+    c = c3 // 3
+    hd = c // heads
+    row = jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)
+    # zero padded rows so no NaN/Inf garbage can leak through p @ v
+    slab = jnp.where(row < n, slab, 0)
+    col_t = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    bias = None if b_ref is None else b_ref[...]  # (Np, Np) fp32, shared
+    for h in range(heads):
+        q = jax.lax.slice(slab, (0, h * hd), (np_, (h + 1) * hd))
+        k = jax.lax.slice(slab, (0, c + h * hd), (np_, c + (h + 1) * hd))
+        v = jax.lax.slice(slab, (0, 2 * c + h * hd), (np_, 2 * c + (h + 1) * hd))
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (Np, Np)
+        if bias is not None:
+            s = s + bias
+        s = jnp.where(col_t < n, s, -jnp.inf)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        # normalize the (Np, hd) output instead of the (Np, Np) probabilities
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o = o / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, :, h * hd:(h + 1) * hd] = o.astype(o_ref.dtype)
+
+
+def _qkv_kernel(qkv_ref, o_ref, *, scale, heads, n):
+    _qkv_kernel_impl(qkv_ref, None, o_ref, scale=scale, heads=heads, n=n)
+
+
+def _qkv_bias_kernel(qkv_ref, b_ref, o_ref, *, scale, heads, n):
+    _qkv_kernel_impl(qkv_ref, b_ref, o_ref, scale=scale, heads=heads, n=n)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "scale", "interpret"))
+def _attention_qkv_fwd_impl(qkv, bias, *, heads, scale, interpret=False):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(hd)
+    np_ = -(-n // 8) * 8  # sublane alignment; Pallas masks the OOB rows
+    in_specs = [pl.BlockSpec((1, np_, c3), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [qkv]
+    if bias is not None:
+        assert bias.shape[0] == 1 and bias.shape[1] == 1, (
+            "packed kernel supports batch/head-shared bias only")
+        bias_f = _pad_to(_pad_to(bias.astype(jnp.float32)[0, 0], np_, 0),
+                         np_, 1)
+        in_specs.append(pl.BlockSpec((np_, np_), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias_f)
+        kern = functools.partial(_qkv_bias_kernel, scale=scale, heads=heads,
+                                 n=n)
+    else:
+        kern = functools.partial(_qkv_kernel, scale=scale, heads=heads, n=n)
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, np_, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        # v5e has 128MB physical VMEM; the default 16MB scoped limit is too
+        # tight for the (Np, 3C) slab + fp32 score tiles at ViT-B sizes
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(*args)
+
+
+def _qkv_xla(qkv, bias, heads, scale):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    qkv4 = qkv.reshape(b, n, 3, heads, c // heads)
+    q, k, v = qkv4[:, :, 0], qkv4[:, :, 1], qkv4[:, :, 2]
+    o = jax.nn.dot_product_attention(q, k, v, bias=bias, scale=scale)
+    return o.reshape(b, n, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _attention_qkv_diff(qkv, bias, heads, scale):
+    return _attention_qkv_fwd_impl(qkv, bias, heads=heads, scale=scale)
+
+
+def _aq_fwd(qkv, bias, heads, scale):
+    return _attention_qkv_fwd_impl(qkv, bias, heads=heads, scale=scale), (qkv, bias)
+
+
+def _aq_bwd(heads, scale, res, g):
+    qkv, bias = res
+    _, vjp = jax.vjp(lambda a, bb: _qkv_xla(a, bb, heads, scale), qkv, bias)
+    return vjp(g)
+
+
+_attention_qkv_diff.defvjp(_aq_fwd, _aq_bwd)
+
+
+def attention_qkv(qkv, heads: int, bias=None, scale: Optional[float] = None):
+    """Attention on the packed qkv projection output.
+
+    qkv: (B, N, 3C) laid out as the fused Dense(3C) produces it — i.e.
+    reshape (B, N, 3, H, hd) gives q/k/v at index 0/1/2 of axis 2. Returns
+    (B, N, C) ready for the output projection. Uses the packed Pallas kernel
+    on TPU-family backends (no HBM layout moves); XLA elsewhere. bias, if
+    given, must be (1, 1, Lq, Lk) (shared across batch and heads).
+    Differentiable via an XLA-recompute VJP.
+    """
+    b, n, c3 = qkv.shape
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        backend = "cpu"
+    if backend in ("tpu", "axon") and n * n <= 1 << 22 and (
+            bias is None or (bias.shape[0] == 1 and bias.shape[1] == 1)):
+        return _attention_qkv_diff(qkv, bias, heads, scale)
+    return _qkv_xla(qkv, bias, heads, scale)
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, lq, lk):

@@ -1,0 +1,272 @@
+"""Fused ViT block sublayers (Pallas TPU).
+
+Two kernels that each fuse a whole residual sublayer of the ViT block
+(reference: vendored ``vision_transformer.py`` Block):
+
+- ``attn_sublayer``:  x + ls1 * proj(attention(qkv(xn)))
+- ``mlp_sublayer``:   x + ls2 * fc2(gelu_exact(fc1(xn)))
+
+where ``xn`` is the (XLA-computed) LayerNorm output. LayerNorms stay in XLA
+so flax's exact normalization numerics are preserved; everything after them
+runs on-chip with zero intermediate HBM round trips. At ViT-B/B=64 the
+unfused pipeline moves ~1 GB of HBM per block in layout copies and
+elementwise passes; these kernels eliminate ~60% of that (measured: the
+packed attention kernel alone took the tokenizer bench from 360 to 559
+img/s; these sublayers take it further).
+
+Numerics match the unfused flax path op-for-op: GEMMs accumulate fp32 on the
+MXU and round to the activation dtype before the bias add (flax Dense
+semantics), softmax is fp32, the exact-erf GELU uses the Abramowitz&Stegun
+7.1.26 expansion (|err| <= 1.5e-7, below bf16 resolution; Pallas TPU cannot
+lower lax.erf), and the residual add is fp32.
+
+Both are differentiable via an XLA-recompute VJP that mirrors the same math.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["attn_sublayer", "mlp_sublayer"]
+
+_VMEM_LIMIT = 100 * 2 ** 20  # v5e has 128MB physical VMEM
+
+from imagefolder_tpu.ops.activations import gelu_exact  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# Attention sublayer
+# ---------------------------------------------------------------------------
+
+
+def _attn_sub_kernel(xn_ref, res_ref, wq_ref, bq_ref, wp_ref, bp_ref, ls_ref,
+                     o_ref, *, scale, heads, n):
+    xn = xn_ref[0]  # (Np, C), activation dtype
+    np_, c = xn.shape
+    hd = c // heads
+    act = xn.dtype
+    # qkv projection: fp32 MXU accum, rounded to act dtype, then bias (flax
+    # Dense semantics: y = dtype(x @ W) + dtype(b))
+    slab = jax.lax.dot_general(
+        xn, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(act)
+    slab = slab + bq_ref[...].astype(act)
+    row = jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)
+    slab = jnp.where(row < n, slab, 0)  # zero block-padding rows (k/v safety)
+    col_t = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    outs = []
+    for h in range(heads):
+        q = jax.lax.slice(slab, (0, h * hd), (np_, (h + 1) * hd))
+        k = jax.lax.slice(slab, (0, c + h * hd), (np_, c + (h + 1) * hd))
+        v = jax.lax.slice(slab, (0, 2 * c + h * hd), (np_, 2 * c + (h + 1) * hd))
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = jnp.where(col_t < n, s, -jnp.inf)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        o = jax.lax.dot_general(
+            p.astype(act), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        outs.append(o / jnp.sum(p, axis=-1, keepdims=True))
+    attn = jnp.concatenate(outs, axis=-1).astype(act)  # (Np, C)
+    y = jax.lax.dot_general(
+        attn, wp_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(act)
+    y = y + bp_ref[...].astype(act)
+    out = res_ref[0].astype(jnp.float32) + ls_ref[...] * y
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def _attn_sublayer_fused(xn, res, wq, bq, wp, bp, ls, *, heads,
+                         interpret=False):
+    b, n, c = xn.shape
+    np_ = -(-n // 8) * 8
+    scale = 1.0 / math.sqrt(c // heads)
+    kern = functools.partial(_attn_sub_kernel, scale=scale, heads=heads, n=n)
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, np_, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, np_, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(xn, res, wq, bq, wp, bp, ls)
+
+
+def _attn_sublayer_xla(xn, res, wq, bq, wp, bp, ls, heads):
+    b, n, c = xn.shape
+    act = xn.dtype
+    qkv = (xn @ wq.astype(act)).astype(act) + bq.astype(act)
+    qkv4 = qkv.reshape(b, n, 3, heads, c // heads)
+    o = jax.nn.dot_product_attention(qkv4[:, :, 0], qkv4[:, :, 1],
+                                     qkv4[:, :, 2])
+    o = o.reshape(b, n, c)
+    y = (o @ wp.astype(act)).astype(act) + bp.astype(act)
+    return res.astype(jnp.float32) + ls * y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _attn_sublayer_diff(xn, res, wq, bq, wp, bp, ls, heads):
+    return _attn_sublayer_fused(xn, res, wq, bq, wp, bp, ls, heads=heads)
+
+
+def _asd_fwd(xn, res, wq, bq, wp, bp, ls, heads):
+    out = _attn_sublayer_fused(xn, res, wq, bq, wp, bp, ls, heads=heads)
+    return out, (xn, res, wq, bq, wp, bp, ls)
+
+
+def _asd_bwd(heads, saved, g):
+    xn, res, wq, bq, wp, bp, ls = saved
+    _, vjp = jax.vjp(
+        lambda *a: _attn_sublayer_xla(*a, heads), xn, res, wq, bq, wp, bp, ls)
+    return vjp(g)
+
+
+_attn_sublayer_diff.defvjp(_asd_fwd, _asd_bwd)
+
+
+import os
+
+_FUSE_ATTN_SUBLAYER = os.environ.get("IMGF_FUSE_ATTN", "0") == "1"
+_FUSE_MLP_SUBLAYER = os.environ.get("IMGF_FUSE_MLP", "0") == "1"
+
+
+def attn_sublayer(xn, res, wq, bq, wp, bp, ls, heads: int,
+                  mask: Optional[jnp.ndarray] = None):
+    """Fused x + ls * proj(attn(qkv(xn))). Falls back to the packed-qkv
+    attention kernel (XLA GEMMs) when the sublayer kernel is disabled or a
+    mask is given; pure XLA off-TPU. xn: LN output (activation dtype); res:
+    residual stream. Returns fp32 (matching the flax promotion through the
+    fp32 layerscale)."""
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        backend = "cpu"
+    n = xn.shape[1]
+    if (_FUSE_ATTN_SUBLAYER and mask is None and backend in ("tpu", "axon")
+            and n * n <= 1 << 22):
+        return _attn_sublayer_diff(xn, res, wq, bq, wp, bp, ls, heads)
+    # composed path: XLA GEMMs + packed attention kernel (itself XLA off-TPU)
+    from imagefolder_tpu.ops.pallas.attention import attention_qkv
+
+    act = xn.dtype
+    qkv = (xn @ wq.astype(act)).astype(act) + bq.astype(act)
+    o = attention_qkv(qkv, heads, bias=mask)
+    y = (o @ wp.astype(act)).astype(act) + bp.astype(act)
+    return res.astype(jnp.float32) + ls * y
+
+
+# ---------------------------------------------------------------------------
+# MLP sublayer
+# ---------------------------------------------------------------------------
+
+
+def _mlp_sub_kernel(xn_ref, res_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref,
+                    o_ref):
+    xn = xn_ref[0]  # (blk, C)
+    act = xn.dtype
+    h = jax.lax.dot_general(
+        xn, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(act)
+    h = h + b1_ref[...].astype(act)
+    h = gelu_exact(h)
+    y = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(act)
+    y = y + b2_ref[...].astype(act)
+    out = res_ref[0].astype(jnp.float32) + ls_ref[...] * y
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("blk", "interpret"))
+def _mlp_sublayer_fused(xn, res, w1, b1, w2, b2, ls, *, blk=512,
+                        interpret=False):
+    # grid over (batch, row-blocks) of the native (B, N, C) layout: a
+    # flattening reshape would be a real HBM copy (N is padded to the sublane
+    # tile per batch item), which measurably erased the fusion win
+    b, n, c = xn.shape
+    hid = w1.shape[1]
+    blk = min(blk, -(-n // 8) * 8)
+    nblk = -(-n // blk)
+    return pl.pallas_call(
+        _mlp_sub_kernel,
+        grid=(b, nblk),
+        in_specs=[
+            pl.BlockSpec((1, blk, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, hid), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hid,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hid, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(xn, res, w1, b1, w2, b2, ls)
+
+
+def _mlp_sublayer_xla(xn, res, w1, b1, w2, b2, ls):
+    act = xn.dtype
+    h = (xn @ w1.astype(act)).astype(act) + b1.astype(act)
+    h = gelu_exact(h)
+    y = (h @ w2.astype(act)).astype(act) + b2.astype(act)
+    return res.astype(jnp.float32) + ls * y
+
+
+@jax.custom_vjp
+def _mlp_sublayer_diff(xn, res, w1, b1, w2, b2, ls):
+    return _mlp_sublayer_fused(xn, res, w1, b1, w2, b2, ls)
+
+
+def _msd_fwd(xn, res, w1, b1, w2, b2, ls):
+    return _mlp_sublayer_diff(xn, res, w1, b1, w2, b2, ls), (
+        xn, res, w1, b1, w2, b2, ls)
+
+
+def _msd_bwd(saved, g):
+    _, vjp = jax.vjp(_mlp_sublayer_xla, *saved)
+    return vjp(g)
+
+
+_mlp_sublayer_diff.defvjp(_msd_fwd, _msd_bwd)
+
+
+def mlp_sublayer(xn, res, w1, b1, w2, b2, ls):
+    """Fused x + ls * fc2(gelu_exact(fc1(xn))). XLA fallback off-TPU.
+    Returns fp32."""
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        backend = "cpu"
+    if _FUSE_MLP_SUBLAYER and backend in ("tpu", "axon"):
+        return _mlp_sublayer_diff(xn, res, w1, b1, w2, b2, ls)
+    return _mlp_sublayer_xla(xn, res, w1, b1, w2, b2, ls)

@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--temperature", type=float, default=1.02)
     ap.add_argument("--num_classes", type=int, default=1000)
     ap.add_argument("--output", default="samples.npz")
+    ap.add_argument("--ref_npz", default=None,
+                    help="reference batch npz: run the full evaluator "
+                         "(FID/sFID/IS/Prec/Recall) after sampling")
+    ap.add_argument("--inception_ckpt", default=None)
     args = ap.parse_args()
 
     from imagefolder_tpu.models.rar import RAR, RARConfig, rar_generate
@@ -83,6 +87,13 @@ def main():
     arr = np.concatenate(out)[:args.num_samples]
     np.savez(args.output, arr_0=arr)
     print(f"wrote {args.output}: {arr.shape}")
+
+    if args.ref_npz:
+        # gFID leg (reference inference.py:117-133 -> evaluator.py main)
+        from scripts.evaluate_fid import evaluate, load_inception
+
+        feat_fn = load_inception(args.inception_ckpt)
+        evaluate(args.ref_npz, args.output, feat_fn)
 
 
 if __name__ == "__main__":

@@ -97,3 +97,48 @@ def test_inception_shapes_and_converter():
     assert cv["batch_stats"]["Conv2d_1a_3x3"]["bn"]["mean"].shape == (32,)
     assert cv["params"]["Mixed_5b"]["branch1x1"]["conv"]["kernel"].shape == (1, 1, 192, 64)
     assert cv["params"]["fc"]["kernel"].shape == (2048, 1008)
+
+
+def test_evaluator_cli_protocol(tmp_path):
+    """End-to-end evaluator.py:27-60 protocol on synthetic npz batches:
+    identical ref/sample -> FID ~ 0, precision/recall ~ 1; a stats-carrying
+    ref npz (mu/sigma/mu_s/sigma_s) is honored (evaluator.py:174-187)."""
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from scripts.evaluate_fid import (
+        compute_activations,
+        evaluate,
+        load_inception,
+    )
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (64, 32, 32, 3), dtype=np.uint8)
+    ref = tmp_path / "ref.npz"
+    smp = tmp_path / "smp.npz"
+    np.savez(ref, arr_0=arr)
+    np.savez(smp, arr_0=arr)
+
+    feat_fn = load_inception(None)
+    m = evaluate(str(ref), str(smp), feat_fn, batch_size=32, verbose=False)
+    assert abs(m["fid"]) < 1e-3
+    assert abs(m["sfid"]) < 1e-3
+    assert m["inception_score"] >= 1.0
+    assert m["precision"] == 1.0 and m["recall"] == 1.0
+
+    # stats-carrying ref npz: perturb stats -> nonzero FID even with
+    # identical pixel batches, proving the precomputed path is used
+    acts = compute_activations(arr, feat_fn, 32, verbose=False)
+    from imagefolder_tpu.eval.fid import compute_statistics
+
+    s_pool = compute_statistics(acts[0])
+    s_sp = compute_statistics(acts[1])
+    ref2 = tmp_path / "ref_stats.npz"
+    np.savez(ref2, arr_0=arr, mu=s_pool.mu + 1.0, sigma=s_pool.sigma,
+             mu_s=s_sp.mu, sigma_s=s_sp.sigma)
+    m2 = evaluate(str(ref2), str(smp), feat_fn, batch_size=32, verbose=False)
+    assert m2["fid"] > 100.0  # mu shifted by 1 in every dim -> diff^2 = 2048
+    assert abs(m2["sfid"]) < 1e-3
