@@ -7,7 +7,11 @@ blur used by DinoDisc early in training.
 TPU-first: the reference branches on host-side ``torch.rand(3)`` per batch;
 here the three aug switches are traced Bernoullis applied via ``jnp.where``
 (same distribution, no recompile, no host sync). NHWC layout.
-"""
+
+The ``*_with_u`` functions take the uniform draws explicitly (shape (B,1,1)
+or (B,1,1,1) in [0,1)) — they are the exact math of the reference's branches
+given its ``rand01 = torch.rand(7, B, 1, 1)`` tensor, and are golden-tested
+against it with shared uniforms (tests/test_losses.py)."""
 
 from __future__ import annotations
 
@@ -16,7 +20,8 @@ import math
 import jax
 import jax.numpy as jnp
 
-__all__ = ["diff_aug", "warmup_blur"]
+__all__ = ["diff_aug", "warmup_blur", "translate_with_u", "color_with_u",
+           "cutout_with_u"]
 
 
 def warmup_blur(x_BHWC, blur_schedule: float):
@@ -34,8 +39,7 @@ def warmup_blur(x_BHWC, blur_schedule: float):
     g = g / jnp.sum(g)
     x = jnp.pad(x_BHWC, ((0, 0), (radius, radius), (radius, radius), (0, 0)),
                 mode="reflect")
-    # separable depthwise blur via einsum over sliding windows would be big;
-    # use conv with feature_group_count
+    # separable depthwise blur via conv with feature_group_count
     c = x.shape[-1]
     kh = jnp.tile(g.reshape(-1, 1, 1, 1), (1, 1, 1, c))  # (K,1,1,C)
     kw = jnp.tile(g.reshape(1, -1, 1, 1), (1, 1, 1, c))
@@ -47,12 +51,12 @@ def warmup_blur(x_BHWC, blur_schedule: float):
     return x
 
 
-def _translate(x, key, ratio=0.125):
+def translate_with_u(x, u_h, u_w, ratio=0.125):
+    """diffaug.py:84-97 given rand01[0]=u_h, rand01[1]=u_w ((B,1,1) each)."""
     b, h, w, c = x.shape
     dh, dw = round(h * ratio), round(w * ratio)
-    k1, k2 = jax.random.split(key)
-    th = jnp.floor(jax.random.uniform(k1, (b, 1, 1)) * (2 * dh + 1)).astype(jnp.int32) - dh
-    tw = jnp.floor(jax.random.uniform(k2, (b, 1, 1)) * (2 * dw + 1)).astype(jnp.int32) - dw
+    th = jnp.floor(u_h * (2 * dh + 1)).astype(jnp.int32) - dh
+    tw = jnp.floor(u_w * (2 * dw + 1)).astype(jnp.int32) - dw
     gh = jnp.clip(jnp.arange(h)[None, :, None] + th + 1, 0, h + 1)  # (B,H,1)
     gw = jnp.clip(jnp.arange(w)[None, None, :] + tw + 1, 0, w + 1)  # (B,1,W)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -63,12 +67,8 @@ def _translate(x, key, ratio=0.125):
     return xp
 
 
-def _color(x, key):
-    k2, k3, k4 = jax.random.split(key, 3)
-    b = x.shape[0]
-    r2 = jax.random.uniform(k2, (b, 1, 1, 1))
-    r3 = jax.random.uniform(k3, (b, 1, 1, 1))
-    r4 = jax.random.uniform(k4, (b, 1, 1, 1))
+def color_with_u(x, r2, r3, r4):
+    """diffaug.py:99-107 given rand01[2:5] ((B,1,1,1) each)."""
     x = x + (r2 - 0.5)                       # brightness
     mean_c = jnp.mean(x, axis=-1, keepdims=True)
     x = (x - mean_c) * (r3 * 2.0) + mean_c   # saturation (channel mean)
@@ -77,18 +77,40 @@ def _color(x, key):
     return x
 
 
-def _cutout(x, key, ratio=0.2):
+def cutout_with_u(x, u5, u6, ratio=0.2):
+    """diffaug.py:109-121 given rand01[5]=u5, rand01[6]=u6 ((B,1,1) each)."""
     b, h, w, c = x.shape
     ch, cw = round(h * ratio), round(w * ratio)
-    k5, k6 = jax.random.split(key)
-    oh = jnp.floor(jax.random.uniform(k5, (b, 1, 1)) * (h + (1 - ch % 2))).astype(jnp.int32)
-    ow = jnp.floor(jax.random.uniform(k6, (b, 1, 1)) * (w + (1 - cw % 2))).astype(jnp.int32)
+    oh = jnp.floor(u5 * (h + (1 - ch % 2))).astype(jnp.int32)
+    ow = jnp.floor(u6 * (w + (1 - cw % 2))).astype(jnp.int32)
     gh = jnp.clip(jnp.arange(ch)[None, :, None] + oh - ch // 2, 0, h - 1)  # (B,ch,1)
     gw = jnp.clip(jnp.arange(cw)[None, None, :] + ow - cw // 2, 0, w - 1)  # (B,1,cw)
     mask = jnp.ones((b, h, w), x.dtype)
     bidx = jnp.arange(b)[:, None, None]
     mask = mask.at[bidx, gh, gw].set(0.0)
     return x * mask[..., None]
+
+
+def _translate(x, key, ratio=0.125):
+    b = x.shape[0]
+    k1, k2 = jax.random.split(key)
+    return translate_with_u(x, jax.random.uniform(k1, (b, 1, 1)),
+                            jax.random.uniform(k2, (b, 1, 1)), ratio)
+
+
+def _color(x, key):
+    k2, k3, k4 = jax.random.split(key, 3)
+    b = x.shape[0]
+    return color_with_u(x, jax.random.uniform(k2, (b, 1, 1, 1)),
+                        jax.random.uniform(k3, (b, 1, 1, 1)),
+                        jax.random.uniform(k4, (b, 1, 1, 1)))
+
+
+def _cutout(x, key, ratio=0.2):
+    b = x.shape[0]
+    k5, k6 = jax.random.split(key)
+    return cutout_with_u(x, jax.random.uniform(k5, (b, 1, 1)),
+                         jax.random.uniform(k6, (b, 1, 1)), ratio)
 
 
 def diff_aug(x_BHWC, key, prob: float = 1.0, cutout: float = 0.2,

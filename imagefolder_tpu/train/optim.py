@@ -172,6 +172,30 @@ def adamw_with_freezing(
     return tx
 
 
-def ema_update(ema_params, params, decay: float = 0.9999):
-    """Reference update_ema (utils/ema.py:5-14) over the full param tree."""
+def ema_update(ema_params, params, decay=0.9999):
+    """Reference update_ema (utils/ema.py:5-14) over the full param tree.
+    decay may be a python float or a traced scalar (schedule below)."""
     return jax.tree.map(lambda e, p: e * decay + p * (1.0 - decay), ema_params, params)
+
+
+def ema_decay_schedule(optimization_step, *, decay: float = 0.9999,
+                       min_decay: float = 0.0, update_after_step: int = 0,
+                       use_ema_warmup: bool = False, inv_gamma: float = 1.0,
+                       power: float = 2.0 / 3.0):
+    """open-muse EMAModel.get_decay (RAR/modules/ema_model.py:95-109).
+
+    ``optimization_step`` is the step counter AFTER the increment performed at
+    the top of EMAModel.step() — i.e. pass ``state.step + 1`` from a trainer
+    whose state.step is the number of completed updates. Without warmup the
+    decay still ramps as (1+s)/(10+s) capped at ``decay``; with warmup it is
+    the power-law 1 - (1 + s/inv_gamma)^-power. s <= 0 gives decay 0 (EMA is
+    a copy of the params until ``update_after_step`` passes)."""
+    s = jnp.maximum(
+        0, jnp.asarray(optimization_step) - update_after_step - 1
+    ).astype(jnp.float32)
+    if use_ema_warmup:
+        cur = 1.0 - (1.0 + s / inv_gamma) ** (-power)
+    else:
+        cur = (1.0 + s) / (10.0 + s)
+    cur = jnp.clip(cur, min_decay, decay)
+    return jnp.where(s <= 0, 0.0, cur)

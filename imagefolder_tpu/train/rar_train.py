@@ -13,7 +13,11 @@ import jax.numpy as jnp
 import optax
 
 from imagefolder_tpu.models.rar import RAR, ar_loss
-from imagefolder_tpu.train.optim import adamw_with_freezing, ema_update
+from imagefolder_tpu.train.optim import (
+    adamw_with_freezing,
+    ema_decay_schedule,
+    ema_update,
+)
 
 __all__ = ["RARTrainConfig", "RARTrainState", "RARTrainer",
            "get_rar_random_ratio"]
@@ -39,7 +43,15 @@ class RARTrainConfig:
     warmup_steps: int = 62_500
     total_steps: int = 250_000
     class_label_dropout: float = 0.1
-    ema_decay: float = 0.9999
+    # open-muse EMAModel schedule (RAR/modules/ema_model.py:18-109; the RAR
+    # recipe instantiates EMAModel(decay=0.999), utils/train_utils.py:144)
+    ema_decay: float = 0.999
+    ema_min_decay: float = 0.0
+    ema_update_after_step: int = 0
+    ema_update_every: int = 1
+    ema_warmup: bool = False  # power-law warmup instead of (1+s)/(10+s)
+    ema_inv_gamma: float = 1.0
+    ema_power: float = 2.0 / 3.0
     random_ratio_anneal_start: int = 0
     random_ratio_anneal_end: int = 125_000
 
@@ -95,6 +107,17 @@ class RARTrainer:
         gnorm = optax.global_norm(grads)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_ema = ema_update(state.ema_params, new_params, self.tcfg.ema_decay)
+        # EMAModel.step(): the counter increments before get_decay, so the
+        # decay at our completed-update count t uses optimization_step = t+1;
+        # skipped steps (update_every) keep the shadow params (decay = 1)
+        tc = self.tcfg
+        decay = ema_decay_schedule(
+            state.step + 1, decay=tc.ema_decay, min_decay=tc.ema_min_decay,
+            update_after_step=tc.ema_update_after_step,
+            use_ema_warmup=tc.ema_warmup, inv_gamma=tc.ema_inv_gamma,
+            power=tc.ema_power)
+        if tc.ema_update_every > 1:
+            decay = jnp.where(state.step % tc.ema_update_every == 0, decay, 1.0)
+        new_ema = ema_update(state.ema_params, new_params, decay)
         metrics = dict(loss=loss, correct_tokens=acc, grad_norm=gnorm)
         return RARTrainState(new_params, new_opt, new_ema, state.step + 1), metrics

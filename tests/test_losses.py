@@ -168,3 +168,51 @@ def test_lpips_basic_properties_and_converter():
     p = convert_lpips_checkpoint(sd)
     assert p["conv_0"]["kernel"].shape == (3, 3, 3, 64)
     assert p["lin_0"]["kernel"].shape == (1, 1, 64, 1)
+
+
+def test_diffaug_golden_vs_reference():
+    """Translation/color/cutout math vs the reference DiffAug.aug
+    (diffaug.py:69-121) with shared uniforms, and the warm-up blur
+    (diffaug.py:46-67) which is deterministic."""
+    from tokenizer.tokenizer_image.diffaug import DiffAug
+
+    from imagefolder_tpu.losses.diffaug import (
+        color_with_u,
+        cutout_with_u,
+        translate_with_u,
+        warmup_blur,
+    )
+
+    rng = np.random.default_rng(0)
+    B, H, W = 4, 32, 32
+    x = rng.standard_normal((B, 3, H, W)).astype(np.float32)
+    rand01 = rng.random((7, B, 1, 1)).astype(np.float32)
+
+    # feed the reference the exact switch + rand01 draws
+    draws = [torch.zeros(3), torch.from_numpy(rand01)]
+    orig_rand = torch.rand
+
+    def fake_rand(*shape, **kw):
+        return draws.pop(0)
+
+    aug = DiffAug(prob=1.0, cutout=0.2)
+    torch.rand = fake_rand
+    try:
+        ref_out = aug.aug(torch.from_numpy(x.copy()))
+    finally:
+        torch.rand = orig_rand
+    ref_out = nhwc(t2n(ref_out))
+
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    u = jnp.asarray(rand01)
+    y = translate_with_u(xj, u[0], u[1])
+    y = color_with_u(y, u[2][..., None], u[3][..., None], u[4][..., None])
+    y = cutout_with_u(y, u[5], u[6])
+    np.testing.assert_allclose(np.asarray(y), ref_out, atol=1e-5)
+
+    # warm-up blur (deterministic given the schedule)
+    aug2 = DiffAug(prob=0.0)
+    ref_blur = nhwc(t2n(aug2.aug(torch.from_numpy(x.copy()),
+                                 warmup_blur_schedule=0.5)))
+    ours_blur = np.asarray(warmup_blur(xj, 0.5))
+    np.testing.assert_allclose(ours_blur, ref_blur, atol=1e-5)

@@ -159,3 +159,50 @@ def test_rar_generate_and_loss():
         {"params": params}, ids, cond + 33)
     loss, acc = ar_loss(logits, labels)
     assert np.isfinite(float(loss)) and 0 <= float(acc) <= 1
+
+
+def test_ema_decay_schedule_golden():
+    """Decay trajectory + EMA values vs the reference open-muse EMAModel
+    (RAR/modules/ema_model.py:18-126), both the default (1+s)/(10+s) ramp
+    and the power-law warmup, including update_after_step gating."""
+    # RAR.modules is stubbed above (its __init__ pulls heavy deps); load the
+    # pure-torch ema_model.py directly from the reference tree
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_ema_model", "/root/reference/RAR/modules/ema_model.py")
+    ref_ema_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_ema_mod)
+    RefEMA = ref_ema_mod.EMAModel
+
+    from imagefolder_tpu.train.optim import ema_decay_schedule, ema_update
+
+    for kwargs in (
+        dict(decay=0.999),
+        dict(decay=0.9999, update_after_step=5),
+        dict(decay=0.999, use_ema_warmup=True, inv_gamma=1.0, power=2.0 / 3.0),
+        dict(decay=0.9999, use_ema_warmup=True, inv_gamma=3.0, power=0.75,
+             min_decay=0.1),
+    ):
+        p = torch.nn.Parameter(torch.ones(4))
+        ref = RefEMA([p], **kwargs)
+        ours_ema = jnp.ones((4,))
+        for t in range(40):
+            with torch.no_grad():
+                p.copy_(torch.full((4,), float(t)))
+            ref.step([p])  # increments optimization_step to t+1 internally
+            ref_decay = ref.cur_decay_value
+            our_decay = float(ema_decay_schedule(
+                jnp.asarray(t + 1),
+                decay=kwargs.get("decay", 0.9999),
+                min_decay=kwargs.get("min_decay", 0.0),
+                update_after_step=kwargs.get("update_after_step", 0),
+                use_ema_warmup=kwargs.get("use_ema_warmup", False),
+                inv_gamma=kwargs.get("inv_gamma", 1.0),
+                power=kwargs.get("power", 2.0 / 3.0)))
+            assert abs(ref_decay - our_decay) < 1e-6, (kwargs, t, ref_decay,
+                                                       our_decay)
+            ours_ema = ema_update(ours_ema, jnp.full((4,), float(t)),
+                                  our_decay)
+        np.testing.assert_allclose(np.asarray(ours_ema),
+                                   t2n(ref.shadow_params[0]), rtol=1e-5)
