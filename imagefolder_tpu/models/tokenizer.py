@@ -103,6 +103,8 @@ class ModelArgs:
     enc_tuning_method: str = "full"
     dec_tuning_method: str = "full"
     lora_rank: int = 8
+    enc_use_attn_mask: bool = False  # dinov2.py:105-112 (forced by lat_lora)
+    to_pixel: str = "linear"  # linear | conv | siren | identity
     perturb_delta_max: int = 0  # RobustTok: static top-k budget (config delta)
     remat: bool = False  # activation checkpointing on ViT blocks
     dtype_str: str = "float32"  # activation dtype: float32 | bfloat16
@@ -166,6 +168,7 @@ class VQModel(nn.Module):
                 patch_size=16, num_latent_tokens=cfg.total_latent_tokens,
                 product_quant=cfg.product_quant, abs_pos_embed=cfg.abs_pos_embed,
                 tuning_method=cfg.enc_tuning_method, lora_rank=cfg.lora_rank,
+                use_attn_mask=cfg.enc_use_attn_mask,
                 remat=cfg.remat, dtype=dt, name="encoder",
             )
             enc_dim = self.encoder.embed_dim
@@ -189,7 +192,8 @@ class VQModel(nn.Module):
                 model_name=cfg.decoder_model, img_size=cfg.image_size,
                 patch_size=16, num_latent_tokens=cfg.num_latent_tokens,
                 abs_pos_embed=cfg.abs_pos_embed, tuning_method=cfg.dec_tuning_method,
-                lora_rank=cfg.lora_rank, remat=cfg.remat, dtype=dt, name="decoder",
+                lora_rank=cfg.lora_rank, to_pixel=cfg.to_pixel,
+                remat=cfg.remat, dtype=dt, name="decoder",
             )
             dec_dim = self.decoder.embed_dim
         else:

@@ -52,11 +52,19 @@ VIT_PRESETS = {
 
 class LoRADense(nn.Module):
     """Dense with optional LoRA adapter (base kernel frozen via optimizer
-    labels, see train/optim.py). y = x W + b + (x A) B * (alpha/r)."""
+    labels, see train/optim.py). y = x W + b + (x A) B * (alpha/r).
+
+    ``latent_tokens > 0`` restricts the LoRA delta to the trailing
+    ``latent_tokens`` sequence positions — the LatentLoRALinear semantics of
+    the reference's ``lat_lora`` tuning (dinov2.py:68-75; the module itself,
+    ``models/peft_models/lora.py``, is MISSING upstream — the import crashes
+    — so this is the documented best-effort reconstruction: adapt the latent
+    stream only, leave image-token computation to the frozen trunk)."""
 
     features: int
     lora_rank: int = 0
     lora_alpha: float = 8.0
+    latent_tokens: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -70,7 +78,12 @@ class LoRADense(nn.Module):
             b = nn.Dense(self.features, use_bias=False,
                          kernel_init=nn.initializers.zeros,
                          dtype=self.dtype, param_dtype=jnp.float32, name="lora_b")(a)
-            y = y + b * (self.lora_alpha / self.lora_rank)
+            delta = b * (self.lora_alpha / self.lora_rank)
+            if self.latent_tokens > 0:
+                n = x.shape[-2]
+                pos = jnp.arange(n)[:, None]
+                delta = jnp.where(pos >= n - self.latent_tokens, delta, 0)
+            y = y + delta
         return y
 
 
@@ -78,13 +91,18 @@ class Mlp(nn.Module):
     hidden: int
     out: int
     lora_rank: int = 0
+    lora_latent_tokens: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = LoRADense(self.hidden, self.lora_rank, dtype=self.dtype, name="fc1")(x)
+        x = LoRADense(self.hidden, self.lora_rank,
+                      latent_tokens=self.lora_latent_tokens,
+                      dtype=self.dtype, name="fc1")(x)
         x = gelu_exact(x)
-        x = LoRADense(self.out, self.lora_rank, dtype=self.dtype, name="fc2")(x)
+        x = LoRADense(self.out, self.lora_rank,
+                      latent_tokens=self.lora_latent_tokens,
+                      dtype=self.dtype, name="fc2")(x)
         return x
 
 
@@ -95,23 +113,37 @@ def _ln(name, dtype=jnp.float32):
 
 class Attention(nn.Module):
     """Standard MHA (vendored vision_transformer.py:145). Fused qkv; optional
-    additive mask."""
+    additive mask. ``lora_rank > 0`` adds (latent-only when
+    ``lora_latent_tokens > 0``) LoRA adapters on qkv and proj — the lat_lora
+    target set (dinov2.py:70: ``.*\\.qkv|.*\\.proj``)."""
 
     num_heads: int
     qkv_bias: bool = True
+    lora_rank: int = 0
+    lora_latent_tokens: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
         b, n, c = x.shape
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias,
-                       kernel_init=linear_kaiming_uniform,
-                       dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
+        if self.lora_rank > 0:
+            qkv = LoRADense(3 * c, self.lora_rank,
+                            latent_tokens=self.lora_latent_tokens,
+                            dtype=self.dtype, name="qkv")(x)
+        else:
+            qkv = nn.Dense(3 * c, use_bias=self.qkv_bias,
+                           kernel_init=linear_kaiming_uniform,
+                           dtype=self.dtype, param_dtype=jnp.float32,
+                           name="qkv")(x)
         # packed kernel: consumes the Dense output layout directly (no HBM
         # transposes); falls back to XLA off-TPU or for per-head masks
         from imagefolder_tpu.ops.pallas.attention import attention_qkv
 
         out = attention_qkv(qkv, self.num_heads, bias=mask)
+        if self.lora_rank > 0:
+            return LoRADense(c, self.lora_rank,
+                             latent_tokens=self.lora_latent_tokens,
+                             dtype=self.dtype, name="proj")(out)
         return nn.Dense(c, kernel_init=linear_kaiming_uniform,
                         dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
 
@@ -218,6 +250,10 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     init_values: Optional[float] = 1e-5  # LayerScale (dinov2)
     lora_rank: int = 0
+    # lat_lora (dinov2.py:68-75): adapters also on qkv/proj, deltas applied
+    # only to the trailing lora_latent_tokens positions
+    lat_lora: bool = False
+    lora_latent_tokens: int = 0
     dtype: jnp.dtype = jnp.float32
     use_rope: bool = False
     num_latent_tokens: int = 0
@@ -250,18 +286,23 @@ class Block(nn.Module):
             return mlp_sublayer(xn.astype(act), x, w1.astype(act), b1,
                                 w2.astype(act), b2, ls2)
 
+        lat_toks = self.lora_latent_tokens if self.lat_lora else 0
         if self.use_rope:
             attn = RoPEAttention(
                 self.num_heads, num_latent_tokens=self.num_latent_tokens,
                 num_image_tokens=self.num_image_tokens, dtype=self.dtype,
                 name="attn")
         else:
-            attn = Attention(self.num_heads, dtype=self.dtype, name="attn")
+            attn = Attention(
+                self.num_heads,
+                lora_rank=self.lora_rank if self.lat_lora else 0,
+                lora_latent_tokens=lat_toks, dtype=self.dtype, name="attn")
         h = attn(_ln("norm1", self.dtype)(x), mask)
         if self.init_values is not None:
             h = h * self.param("ls1", nn.initializers.constant(self.init_values), (c,))
         x = x + h
-        h = Mlp(int(c * self.mlp_ratio), c, self.lora_rank, self.dtype, name="mlp")(
+        h = Mlp(int(c * self.mlp_ratio), c, self.lora_rank,
+                lora_latent_tokens=lat_toks, dtype=self.dtype, name="mlp")(
             _ln("norm2", self.dtype)(x)
         )
         if self.init_values is not None:
@@ -269,28 +310,101 @@ class Block(nn.Module):
         return x + h
 
 
+def _convtranspose_kaiming(cout: int, p: int):
+    """torch nn.ConvTranspose2d default init on weight (Cin, Cout, p, p):
+    kaiming_uniform(a=sqrt(5)) with fan_in = Cout * p * p."""
+    bound = 1.0 / math.sqrt(cout * p * p)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _uniform(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 class ToPixel(nn.Module):
-    """Linear patch->pixel head + unpatchify (dino_enc/to_pixel.py:36).
-    NHWC output."""
+    """Patch->pixel head (dino_enc/to_pixel.py:36-94). NHWC output.
+
+    Modes: ``linear`` (Dense + unpatchify), ``conv`` (non-overlapping
+    ConvTranspose2d, kernel stored in the torch (Cin, Cout, p, p) layout),
+    ``siren`` (two SineLayers, omega=30, with the reference's raw
+    ``view(B, C, S, S)`` reshape — NOT patchwise), ``identity`` (tokens
+    returned unchanged)."""
 
     img_size: int = 256
     patch_size: int = 16
     channels: int = 3
+    mode: str = "linear"
 
-    # param path of the projection kernel (adaptive disc weight anchor,
-    # reference to_pixel.get_last_layer)
-    last_layer_param_path = ("proj", "kernel")
+    @property
+    def last_layer_param_path(self):
+        # adaptive disc weight anchor (reference to_pixel.get_last_layer)
+        return {
+            "linear": ("proj", "kernel"),
+            "conv": ("deconv", "kernel"),
+            "siren": ("sine2", "kernel"),
+            "identity": None,
+        }[self.mode]
 
     @nn.compact
     def __call__(self, x):  # (B, L, D)
         p = self.patch_size
         hw = self.img_size // p
-        x = nn.Dense(self.channels * p * p, kernel_init=linear_kaiming_uniform,
-                     param_dtype=jnp.float32, name="proj")(x)
-        b = x.shape[0]
-        x = x.reshape(b, hw, hw, p, p, self.channels)
-        x = x.transpose(0, 1, 3, 2, 4, 5)  # b, h, p, w, q, c
-        return x.reshape(b, hw * p, hw * p, self.channels)
+        b, l, d = x.shape
+        if self.mode == "linear":
+            x = nn.Dense(self.channels * p * p, kernel_init=linear_kaiming_uniform,
+                         param_dtype=jnp.float32, name="proj")(x)
+            x = x.reshape(b, hw, hw, p, p, self.channels)
+            x = x.transpose(0, 1, 3, 2, 4, 5)  # b, h, p, w, q, c
+            return x.reshape(b, hw * p, hw * p, self.channels)
+        if self.mode == "conv":
+            # ConvTranspose2d(D, C, p, stride=p): with stride == kernel the
+            # output is a per-patch projection — expressed directly as an
+            # einsum on the (Cin, Cout, p, p) torch-layout kernel
+            w, bias = _DeconvParams(d, self.channels, p, name="deconv")()
+            y = jnp.einsum("bhwd,dcij->bhiwjc",
+                           x.reshape(b, hw, hw, d).astype(jnp.float32),
+                           w.astype(jnp.float32))
+            y = y.reshape(b, hw * p, hw * p, self.channels) + bias
+            return y
+        if self.mode == "siren":
+            # SineLayer(D, 2D, is_first) -> SineLayer(2D, (img//p)*p*C)
+            f2 = (self.img_size // p) * p * self.channels
+            h = nn.Dense(2 * d, kernel_init=_uniform(1.0 / d),
+                         bias_init=_uniform(1.0 / math.sqrt(d)),
+                         param_dtype=jnp.float32, name="sine1")(x)
+            h = jnp.sin(30.0 * h)
+            y = nn.Dense(f2, kernel_init=_uniform(math.sqrt(6.0 / (2 * d)) / 30.0),
+                         bias_init=_uniform(1.0 / math.sqrt(2 * d)),
+                         param_dtype=jnp.float32, name="sine2")(h)
+            y = jnp.sin(30.0 * y)
+            # reference quirk: raw channel-major view, not patchwise
+            s = p * int(math.sqrt(l))
+            y = y.reshape(b, self.channels, s, s)
+            return y.transpose(0, 2, 3, 1)
+        if self.mode == "identity":
+            return x
+        raise NotImplementedError(f"to_pixel mode {self.mode!r}")
+
+
+class _DeconvParams(nn.Module):
+    din: int
+    cout: int
+    p: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("kernel", _convtranspose_kaiming(self.cout, self.p),
+                       (self.din, self.cout, self.p, self.p))
+        b = self.param("bias", _uniform(1.0 / math.sqrt(self.cout * self.p * self.p)),
+                       (self.cout,))
+        return w, b
 
 
 class ViTBackbone(nn.Module):
@@ -309,6 +423,8 @@ class ViTBackbone(nn.Module):
     init_values: Optional[float] = 1e-5
     pre_norm: bool = False  # True for CLIP
     lora_rank: int = 0
+    lat_lora: bool = False  # adapters on qkv/proj too, latent-only deltas
+    lora_latent_tokens: int = 0
     dtype: jnp.dtype = jnp.float32
     use_rope: bool = False
     num_latent_tokens: int = 0  # only used by rope blocks
@@ -335,8 +451,11 @@ class ViTBackbone(nn.Module):
         )
         self.blocks = [
             Block(self.num_heads, self.mlp_ratio, self.init_values,
-                  self.lora_rank, self.dtype, self.use_rope,
-                  self.num_latent_tokens, self.num_patches,
+                  self.lora_rank, lat_lora=self.lat_lora,
+                  lora_latent_tokens=self.lora_latent_tokens,
+                  dtype=self.dtype, use_rope=self.use_rope,
+                  num_latent_tokens=self.num_latent_tokens,
+                  num_image_tokens=self.num_patches,
                   name=f"block_{i}")
             for i in range(self.depth)
         ]
@@ -429,8 +548,10 @@ class LatentEncoder(nn.Module):
     num_latent_tokens: int = 256  # total (already scaled by product_quant)
     product_quant: int = 1
     abs_pos_embed: bool = True
-    tuning_method: str = "full"  # full | frozen | lora (optimizer handles it)
+    # full | frozen | lora | lat_lora (freezing handled by the optimizer)
+    tuning_method: str = "full"
     lora_rank: int = 0
+    use_attn_mask: bool = False  # forced True by lat_lora (dinov2.py:74)
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -438,15 +559,20 @@ class LatentEncoder(nn.Module):
     def embed_dim(self):
         return VIT_PRESETS[self.model_name]["embed_dim"]
 
+    @property
+    def attn_masked(self):
+        return self.use_attn_mask or self.tuning_method == "lat_lora"
+
     def setup(self):
-        if self.tuning_method not in ("full", "frozen", "lora"):
+        if self.tuning_method not in ("full", "frozen", "lora", "lat_lora"):
             raise NotImplementedError(
-                f"tuning_method={self.tuning_method!r}; lat_lora is not supported yet"
-            )
-        rank = self.lora_rank if self.tuning_method == "lora" else 0
+                f"tuning_method={self.tuning_method!r}")
+        rank = self.lora_rank if self.tuning_method in ("lora", "lat_lora") else 0
         self.model = ViTBackbone(
             **_backbone_kwargs(self.model_name, self.img_size, self.patch_size,
                                rank, self.dtype), remat=self.remat,
+            lat_lora=self.tuning_method == "lat_lora",
+            lora_latent_tokens=self.num_latent_tokens,
             name="model",
         )
         d = self.embed_dim
@@ -491,7 +617,19 @@ class LatentEncoder(nn.Module):
         else:
             x = jnp.concatenate([x, z + self.latent_pos_embed.astype(jnp.float32)], axis=1)
 
-        x = m.run_blocks(x)
+        mask = None
+        if self.attn_masked:
+            # prefix+image tokens cannot attend TO the latent tokens
+            # (dinov2.py:105-112): shared additive (1,1,L,L) bias
+            total = x.shape[1]
+            nl = self.num_latent_tokens
+            row = jnp.arange(total)[:, None]
+            col = jnp.arange(total)[None, :]
+            blocked = (row < total - nl) & (col >= total - nl)
+            mask = jnp.where(blocked, -jnp.inf, 0.0).astype(jnp.float32)
+            mask = mask[None, None]
+
+        x = m.run_blocks(x, mask)
         return x[:, -self.num_latent_tokens:]  # (B, nlt, D)
 
 
@@ -518,14 +656,18 @@ class LatentDecoder(nn.Module):
         return VIT_PRESETS[self.model_name]["embed_dim"]
 
     def setup(self):
-        if self.to_pixel != "linear":
-            raise NotImplementedError("only the 'linear' ToPixel head is supported")
-        rank = self.lora_rank if self.tuning_method == "lora" else 0
+        if self.to_pixel not in ("linear", "conv", "siren", "identity"):
+            raise NotImplementedError(f"to_pixel={self.to_pixel!r}")
+        rank = self.lora_rank if self.tuning_method in ("lora", "lat_lora") else 0
         self.model = ViTBackbone(
             **_backbone_kwargs(self.model_name, self.img_size, self.patch_size,
                                rank, self.dtype),
             use_rope=self.use_rope,
             num_latent_tokens=self.num_latent_tokens if self.use_rope else 0,
+            lat_lora=self.tuning_method == "lat_lora",
+            # decoder latent stream = z block (+ its extra cls when abs pos)
+            lora_latent_tokens=self.num_latent_tokens
+            + (1 if (self.abs_pos_embed and not self.use_rope) else 0),
             remat=self.remat,
             name="model",
         )
@@ -540,7 +682,7 @@ class LatentDecoder(nn.Module):
                 "latent_pos_embed", trunc_normal(0.02), (1, self.num_latent_tokens, d)
             )
         self.pixel_head = ToPixel(self.img_size, self.patch_size, self.out_channels,
-                                  name="to_pixel")
+                                  mode=self.to_pixel, name="to_pixel")
         if self.cond_latent:
             d = self.embed_dim
             # timm Mlp(d, d, norm_layer=LayerNorm): fc1 -> gelu -> norm -> fc2
@@ -553,7 +695,11 @@ class LatentDecoder(nn.Module):
             self.cl_norm1 = nn.LayerNorm(epsilon=1e-6, name="cl_norm1")
 
     # adaptive-GAN-weight anchor (reference DINOv2Decoder.last_layer)
-    last_layer_param_path = ("to_pixel", "proj", "kernel")
+    @property
+    def last_layer_param_path(self):
+        head = {"linear": ("proj", "kernel"), "conv": ("deconv", "kernel"),
+                "siren": ("sine2", "kernel"), "identity": None}[self.to_pixel]
+        return None if head is None else ("to_pixel",) + head
 
     def __call__(self, z, *, train: bool = False, return_prelast: bool = False):  # (B, nlt, D)
         b = z.shape[0]

@@ -29,6 +29,7 @@ __all__ = [
     "disc_frozen_predicate",
     "no_decay_predicate",
     "ema_update",
+    "ema_decay_schedule",
 ]
 
 
@@ -98,7 +99,7 @@ def tokenizer_frozen_predicate(cfg) -> Callable[[str], bool]:
             if path.startswith(part):
                 if method == "frozen":
                     return True
-                if method == "lora":
+                if method in ("lora", "lat_lora"):
                     trainable = (
                         "lora_a" in path or "lora_b" in path
                         or re.search(r"/model/norm/", path) is not None

@@ -121,20 +121,42 @@ def _last_layer_apply(model_cfg: ModelArgs, dec_params, pre_last, w_last):
         return jax.lax.conv_general_dilated(
             pre_last.astype(jnp.float32), w_last.astype(jnp.float32), (1, 1),
             [(1, 1), (1, 1)], dimension_numbers=dn) + b
-    # vit: ToPixel dense + unpatchify
-    b = dec_params["to_pixel"]["proj"]["bias"]
-    x = pre_last.astype(jnp.float32) @ w_last + b
-    n = x.shape[0]
+    # vit: recompute the ToPixel head output with the overridden last kernel
+    n = pre_last.shape[0]
     p = 16
     hw = model_cfg.image_size // p
-    x = x.reshape(n, hw, hw, p, p, 3).transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(n, hw * p, hw * p, 3)
+    if model_cfg.to_pixel == "linear":
+        b = dec_params["to_pixel"]["proj"]["bias"]
+        x = pre_last.astype(jnp.float32) @ w_last + b
+        x = x.reshape(n, hw, hw, p, p, 3).transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(n, hw * p, hw * p, 3)
+    if model_cfg.to_pixel == "conv":
+        b = dec_params["to_pixel"]["deconv"]["bias"]
+        x = pre_last.astype(jnp.float32).reshape(n, hw, hw, -1)
+        y = jnp.einsum("bhwd,dcij->bhiwjc", x, w_last.astype(jnp.float32))
+        return y.reshape(n, hw * p, hw * p, 3) + b
+    if model_cfg.to_pixel == "siren":
+        tp = dec_params["to_pixel"]
+        h = pre_last.astype(jnp.float32) @ tp["sine1"]["kernel"] + tp["sine1"]["bias"]
+        h = jnp.sin(30.0 * h)
+        y = jnp.sin(30.0 * (h @ w_last + tp["sine2"]["bias"]))
+        s = p * hw
+        return y.reshape(n, 3, s, s).transpose(0, 2, 3, 1)
+    raise NotImplementedError(
+        f"adaptive disc weight needs a last layer; to_pixel="
+        f"{model_cfg.to_pixel!r} has none (reference get_last_layer -> None)")
 
 
 def _last_layer_kernel(model_cfg: ModelArgs, dec_params):
     if model_cfg.dec_type == "cnn":
         return dec_params["conv_out"]["kernel"]
-    return dec_params["to_pixel"]["proj"]["kernel"]
+    head = {"linear": ("proj", "kernel"), "conv": ("deconv", "kernel"),
+            "siren": ("sine2", "kernel")}.get(model_cfg.to_pixel)
+    if head is None:
+        raise NotImplementedError(
+            f"adaptive disc weight needs a last layer; to_pixel="
+            f"{model_cfg.to_pixel!r} has none")
+    return dec_params["to_pixel"][head[0]][head[1]]
 
 
 class TokenizerTrainer:
