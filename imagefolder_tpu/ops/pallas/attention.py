@@ -114,6 +114,145 @@ def _attention_qkv_fwd_impl(qkv, bias, *, heads, scale, interpret=False):
     )(*args)
 
 
+# ---------------------------------------------------------------------------
+# Backward kernels.
+#
+# The (L, L) probability matrix is never written to HBM: the backward kernel
+# recomputes scores/softmax in VMEM from the saved q/k/v (flash-attention
+# style recompute, but single-block — no streaming needed at these L).
+# Per head:  dv = p^T do;  dp = do v^T;  ds = p*(dp - rowsum(p*dp));
+# dq = scale * ds k;  dk = scale * ds^T q;  dbias = sum_{b,h} ds.
+# dbias is accumulated across the (sequential) TPU grid into one shared
+# (Lq, Lk) block when the bias is batch/head-shared.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_head_math(q, k, v, do, bias, *, scale, n):
+    """Shared per-head backward math on 2D (Np, hd)/(Np, Np) tiles.
+
+    q/k/v/do: (Np, hd) (any float dtype); bias: (Np, Np) fp32 or None.
+    Rows >= n of q/k/v/do must already be zeroed. Returns (dq, dk, dv, ds)
+    with dq/dk/dv fp32 and ds fp32 (zero on padded rows/cols).
+    """
+    np_ = q.shape[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        s = s + bias
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    s = jnp.where(col < n, s, -jnp.inf)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # (Np, Np) fp32
+    pb = p.astype(v.dtype)
+    dv = jax.lax.dot_general(  # p^T @ do -> (Np, hd)
+        pb, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(  # do @ v^T -> (Np, Np)
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    dsb = ds.astype(q.dtype)
+    dq = jax.lax.dot_general(  # ds @ k -> (Np, hd)
+        dsb, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(  # ds^T @ q -> (Np, hd)
+        dsb, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    return dq, dk, dv, ds
+
+
+def _qkv_bwd_kernel_impl(qkv_ref, g_ref, b_ref, dqkv_ref, db_ref, *,
+                         scale, heads, n):
+    slab = qkv_ref[0]  # (Np, 3C)
+    g = g_ref[0]       # (Np, C) — block-padded rows are uninitialized
+    np_, c3 = slab.shape
+    c = c3 // 3
+    hd = c // heads
+    row = jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)
+    slab = jnp.where(row < n, slab, 0)
+    g = jnp.where(row < n, g, 0)
+    bias = None if b_ref is None else b_ref[...]
+    if db_ref is not None:
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            db_ref[...] = jnp.zeros_like(db_ref)
+    ds_total = None
+    for h in range(heads):
+        q = jax.lax.slice(slab, (0, h * hd), (np_, (h + 1) * hd))
+        k = jax.lax.slice(slab, (0, c + h * hd), (np_, c + (h + 1) * hd))
+        v = jax.lax.slice(slab, (0, 2 * c + h * hd),
+                          (np_, 2 * c + (h + 1) * hd))
+        do = jax.lax.slice(g, (0, h * hd), (np_, (h + 1) * hd))
+        dq, dk, dv, ds = _bwd_head_math(q, k, v, do, bias, scale=scale, n=n)
+        dqkv_ref[0, :, h * hd:(h + 1) * hd] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, c + h * hd:c + (h + 1) * hd] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * c + h * hd:2 * c + (h + 1) * hd] = (
+            dv.astype(dqkv_ref.dtype))
+        if db_ref is not None:
+            ds_total = ds if ds_total is None else ds_total + ds
+    if db_ref is not None:
+        db_ref[...] += ds_total
+
+
+def _qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale, heads, n):
+    _qkv_bwd_kernel_impl(qkv_ref, g_ref, None, dqkv_ref, None,
+                         scale=scale, heads=heads, n=n)
+
+
+def _qkv_bias_bwd_kernel(qkv_ref, g_ref, b_ref, dqkv_ref, db_ref, *,
+                         scale, heads, n):
+    _qkv_bwd_kernel_impl(qkv_ref, g_ref, b_ref, dqkv_ref, db_ref,
+                         scale=scale, heads=heads, n=n)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+def _attention_qkv_bwd_impl(qkv, bias, g, *, heads, scale, interpret=False):
+    """Pallas backward for the packed layout. Returns (dqkv, dbias|None)."""
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(hd)
+    np_ = -(-n // 8) * 8
+    in_specs = [pl.BlockSpec((1, np_, c3), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, np_, c), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [qkv, g]
+    out_specs = [pl.BlockSpec((1, np_, c3), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, n, c3), qkv.dtype)]
+    if bias is not None:
+        bias_f = _pad_to(_pad_to(bias.astype(jnp.float32)[0, 0], np_, 0),
+                         np_, 1)
+        in_specs.append(pl.BlockSpec((np_, np_), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias_f)
+        out_specs.append(pl.BlockSpec((np_, np_), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((np_, np_), jnp.float32))
+        kern = functools.partial(_qkv_bias_bwd_kernel, scale=scale,
+                                 heads=heads, n=n)
+    else:
+        kern = functools.partial(_qkv_bwd_kernel, scale=scale, heads=heads,
+                                 n=n)
+    out = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(*args)
+    if bias is None:
+        return out[0], None
+    dbias = out[1][:n, :n][None, None].astype(bias.dtype)
+    return out[0], dbias
+
+
 def _qkv_xla(qkv, bias, heads, scale):
     b, n, c3 = qkv.shape
     c = c3 // 3
@@ -134,8 +273,9 @@ def _aq_fwd(qkv, bias, heads, scale):
 
 def _aq_bwd(heads, scale, res, g):
     qkv, bias = res
-    _, vjp = jax.vjp(lambda a, bb: _qkv_xla(a, bb, heads, scale), qkv, bias)
-    return vjp(g)
+    dqkv, dbias = _attention_qkv_bwd_impl(qkv, bias, g, heads=heads,
+                                          scale=scale)
+    return dqkv, dbias
 
 
 _attention_qkv_diff.defvjp(_aq_fwd, _aq_bwd)
@@ -149,7 +289,8 @@ def attention_qkv(qkv, heads: int, bias=None, scale: Optional[float] = None):
     (B, N, C) ready for the output projection. Uses the packed Pallas kernel
     on TPU-family backends (no HBM layout moves); XLA elsewhere. bias, if
     given, must be (1, 1, Lq, Lk) (shared across batch and heads).
-    Differentiable via an XLA-recompute VJP.
+    Differentiable via a native Pallas backward kernel (in-VMEM softmax
+    recompute, no (L, L) residuals in HBM).
     """
     b, n, c3 = qkv.shape
     try:
@@ -274,6 +415,90 @@ def _xla_attention(q, k, v, bias, scale):
     return jax.nn.dot_product_attention(q, k, v, bias=bias, scale=scale)
 
 
+def _bnhd_bwd_kernel_impl(q_ref, k_ref, v_ref, g_ref, b_ref,
+                          dq_ref, dk_ref, dv_ref, db_ref, *, scale, n):
+    np_, hd = q_ref.shape[1], q_ref.shape[2]
+    row = jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)
+    q = jnp.where(row < n, q_ref[0], 0)
+    k = jnp.where(row < n, k_ref[0], 0)
+    v = jnp.where(row < n, v_ref[0], 0)
+    do = jnp.where(row < n, g_ref[0], 0)
+    bias = None if b_ref is None else b_ref[0]
+    if db_ref is not None:
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            db_ref[...] = jnp.zeros_like(db_ref)
+    dq, dk, dv, ds = _bwd_head_math(q, k, v, do, bias, scale=scale, n=n)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+    if db_ref is not None:
+        db_ref[...] += ds
+
+
+def _bnhd_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                     scale, n):
+    _bnhd_bwd_kernel_impl(q_ref, k_ref, v_ref, g_ref, None,
+                          dq_ref, dk_ref, dv_ref, None, scale=scale, n=n)
+
+
+def _bnhd_bias_bwd_kernel(q_ref, k_ref, v_ref, g_ref, b_ref,
+                          dq_ref, dk_ref, dv_ref, db_ref, *, scale, n):
+    _bnhd_bwd_kernel_impl(q_ref, k_ref, v_ref, g_ref, b_ref,
+                          dq_ref, dk_ref, dv_ref, db_ref, scale=scale, n=n)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _fused_attention_bwd_impl(q, k, v, bias, g, scale=None, interpret=False):
+    """Pallas backward for the BNHD layout (self-attention, Lq == Lk,
+    bias None or batch/head-shared). Returns (dq, dk, dv, dbias|None)."""
+    b, l, h, hd = q.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(hd)
+    lp = -(-l // 8) * 8
+
+    def to_bh(x):
+        return _pad_to(x, lp, 1).transpose(0, 2, 1, 3).reshape(b * h, lp, hd)
+
+    qb, kb, vb, gb = to_bh(q), to_bh(k), to_bh(v), to_bh(g)
+    bh_spec = pl.BlockSpec((1, lp, hd), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [bh_spec] * 4
+    args = [qb, kb, vb, gb]
+    out_specs = [bh_spec] * 3
+    out_shape = [jax.ShapeDtypeStruct((b * h, lp, hd), q.dtype)] * 3
+    if bias is not None:
+        bias_f = _pad_to(_pad_to(bias.astype(jnp.float32), lp, 2),
+                         lp, 3).reshape(1, lp, lp)
+        in_specs.append(pl.BlockSpec((1, lp, lp), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias_f)
+        out_specs.append(pl.BlockSpec((lp, lp), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((lp, lp), jnp.float32))
+        kern = functools.partial(_bnhd_bias_bwd_kernel, scale=scale, n=l)
+    else:
+        kern = functools.partial(_bnhd_bwd_kernel, scale=scale, n=l)
+    out = pl.pallas_call(
+        kern,
+        grid=(b * h,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(*args)
+
+    def from_bh(x):
+        return x.reshape(b, h, lp, hd).transpose(0, 2, 1, 3)[:, :l]
+
+    dq, dk, dv = from_bh(out[0]), from_bh(out[1]), from_bh(out[2])
+    if bias is None:
+        return dq, dk, dv, None
+    dbias = out[3][:l, :l][None, None].astype(bias.dtype)
+    return dq, dk, dv, dbias
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _fused_attention_diff(q, k, v, bias, scale):
     return fused_attention(q, k, v, bias=bias, scale=scale)
@@ -284,9 +509,13 @@ def _fad_fwd(q, k, v, bias, scale):
 
 
 def _fad_bwd(scale, res, g):
-    # backward recomputes through the XLA formulation (the fused kernel has
-    # no native VJP); the forward still runs the fast kernel.
     q, k, v, bias = res
+    shared = bias is None or (bias.shape[0] == 1 and bias.shape[1] == 1)
+    if q.shape[1] == k.shape[1] and shared:
+        dq, dk, dv, dbias = _fused_attention_bwd_impl(q, k, v, bias, g,
+                                                      scale=scale)
+        return dq, dk, dv, dbias
+    # cross-length or per-(batch,head) bias: recompute through XLA
     _, vjp = jax.vjp(lambda qq, kk, vv, bb: _xla_attention(qq, kk, vv, bb, scale),
                      q, k, v, bias)
     return vjp(g)
@@ -298,7 +527,8 @@ _fused_attention_diff.defvjp(_fad_fwd, _fad_bwd)
 def dot_product_attention(q, k, v, bias=None, scale=None):
     """Drop-in for jax.nn.dot_product_attention that uses the fused Pallas
     kernel on TPU-family backends (exact-match verified; differentiable via
-    an XLA-recompute VJP) and XLA elsewhere."""
+    a native Pallas backward kernel for the self-attention/shared-bias case,
+    XLA-recompute VJP otherwise) and XLA elsewhere."""
     try:
         backend = jax.default_backend()
     except RuntimeError:

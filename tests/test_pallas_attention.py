@@ -48,3 +48,64 @@ def test_interpret_with_bias_and_grad():
     g = jax.grad(lambda qq: jnp.sum(dot_product_attention(qq, qq, qq) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_want), rtol=1e-4,
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward kernels: interpret-mode gradient parity vs the XLA VJP.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("use_bias", [False, True])
+def test_bnhd_backward_kernel_matches_xla_vjp(use_bias):
+    from imagefolder_tpu.ops.pallas.attention import _fused_attention_bwd_impl
+
+    b, l, h, hd = 2, 37, 3, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, l, h, hd))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, l, h, hd))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, l, h, hd))
+    g = jax.random.normal(jax.random.PRNGKey(3), (b, l, h, hd))
+    bias = None
+    if use_bias:
+        mask = jnp.where(jnp.arange(l)[:, None] >= jnp.arange(l)[None, :],
+                         0.0, -1e9)[None, None]
+        bias = mask + 0.1 * jax.random.normal(jax.random.PRNGKey(4),
+                                              (1, 1, l, l))
+
+    def f(qq, kk, vv, bb):
+        return jax.nn.dot_product_attention(qq, kk, vv, bias=bb)
+
+    _, vjp = jax.vjp(f, q, k, v, bias)
+    want = vjp(g)
+    got = _fused_attention_bwd_impl(q, k, v, bias, g, interpret=True)
+    for w, a, name in zip(want, got, ("dq", "dk", "dv", "dbias")):
+        if w is None:
+            assert a is None
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(w), rtol=1e-4,
+                                   atol=1e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("use_bias", [False, True])
+def test_packed_qkv_backward_kernel_matches_xla_vjp(use_bias):
+    from imagefolder_tpu.ops.pallas.attention import (
+        _attention_qkv_bwd_impl, _qkv_xla)
+
+    b, n, h, hd = 2, 53, 4, 32
+    c = h * hd
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (b, n, 3 * c))
+    g = jax.random.normal(jax.random.PRNGKey(1), (b, n, c))
+    bias = None
+    if use_bias:
+        bias = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (1, 1, n, n))
+
+    _, vjp = jax.vjp(lambda a, bb: _qkv_xla(a, bb, h, None), qkv, bias)
+    want = vjp(g)
+    got = _attention_qkv_bwd_impl(qkv, bias, g, heads=h, scale=None,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=1e-4, atol=1e-4, err_msg="dqkv")
+    if use_bias:
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                                   rtol=1e-4, atol=1e-4, err_msg="dbias")
+    else:
+        assert got[1] is None
