@@ -17,6 +17,7 @@ bootstrap, dist.py:20-49).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -24,7 +25,78 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "fsdp_shard_params",
-           "process_index", "is_primary"]
+           "process_index", "is_primary", "init_distributed",
+           "sync_global_devices", "process_allgather"]
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None,
+                     local_device_ids=None) -> bool:
+    """Multi-host bootstrap — the reference's torchrun/SLURM env init
+    (``utils/distributed.py:20-57``, ``dist.py:20-49``) collapses to one
+    ``jax.distributed.initialize`` call.
+
+    Explicit args win; otherwise env vars (``JAX_COORDINATOR_ADDRESS`` /
+    ``COORDINATOR_ADDRESS`` + ``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``, or a
+    TPU-pod metadata environment where ``initialize()`` autodetects). Returns
+    True when a multi-process runtime was initialized, False for the
+    single-process no-op (mirrors the reference's RANK-unset degradation,
+    ``dist.py:25-29``).
+    """
+    env = os.environ
+    coordinator = (coordinator or env.get("JAX_COORDINATOR_ADDRESS")
+                   or env.get("COORDINATOR_ADDRESS"))
+    if num_processes is None and env.get("JAX_NUM_PROCESSES"):
+        num_processes = int(env["JAX_NUM_PROCESSES"])
+    if process_id is None and env.get("JAX_PROCESS_ID"):
+        process_id = int(env["JAX_PROCESS_ID"])
+    autodetect = env.get("TPU_WORKER_HOSTNAMES") or env.get("MEGASCALE_COORDINATOR_ADDRESS")
+    if coordinator is None and not autodetect:
+        return False
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = local_device_ids
+    jax.distributed.initialize(**kwargs)
+    return jax.process_count() > 1
+
+
+def add_distributed_args(ap):
+    """Attach the multi-host flags shared by every CLI (the reference's
+    torchrun env contract: RANK/WORLD_SIZE/MASTER_ADDR)."""
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 for jax.distributed "
+                         "multi-host init (or set JAX_COORDINATOR_ADDRESS)")
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
+    return ap
+
+
+def init_from_args(args) -> bool:
+    return init_distributed(getattr(args, "coordinator", None),
+                            getattr(args, "num_processes", None),
+                            getattr(args, "process_id", None))
+
+
+def sync_global_devices(name: str = "barrier"):
+    """Cross-host barrier (reference ``dist.barrier()`` ckpt sync sites)."""
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+def process_allgather(tree, tiled: bool = False):
+    """Gather per-host arrays to every host (reference's eval-sample
+    ``dist.allgather``, ``inference.py:111``/``xqgan_train.py:529``)."""
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(tree, tiled=tiled)
 
 
 def make_mesh(axes: Sequence[str] = ("data",),
@@ -37,8 +109,18 @@ def make_mesh(axes: Sequence[str] = ("data",),
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a host batch sharded along its leading dim on the mesh."""
+    """Place a host batch sharded along its leading dim on the mesh.
+
+    Single-process: a sharded device_put. Multi-process: each host holds its
+    own loader shard (``make_dataloader(shard_index=process_index)``), and the
+    per-host arrays assemble into one global array over the mesh — the
+    global batch = process_count * local batch (reference DistributedSampler
+    semantics, ``xqgan_train.py:232-247``)."""
     sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

@@ -20,19 +20,33 @@ __all__ = ["CheckpointManager"]
 
 
 class CheckpointManager:
+    """States passed in are host (device_get) trees; in a multi-process run
+    only process 0 writes (reference rank-0 ``torch.save`` gating,
+    ``xqgan_train.py:571``). Every process restores (shared filesystem
+    assumed, as upstream)."""
+
     def __init__(self, directory: str, max_to_keep: int = 2):
         self.directory = Path(directory).absolute()
-        self.directory.mkdir(parents=True, exist_ok=True)
+        self._primary = jax.process_index() == 0
+        if self._primary:
+            self.directory.mkdir(parents=True, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             str(self.directory / "ckpts"),
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True),
-        )
-        self._best = ocp.StandardCheckpointer()
+        ) if self._primary else None
+        self._best = ocp.StandardCheckpointer() if self._primary else None
         self.best_metric: Optional[float] = None
 
+    def _barrier(self, tag: str):
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_{tag}")
+
     def save(self, step: int, state: Any):
-        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if self._primary:
+            self._mgr.save(step, args=ocp.args.StandardSave(state))
 
     def save_best(self, state: Any, metric: float, lower_is_better=True):
         """best-by-val-FID checkpoint (xqgan_train.py save_best)."""
@@ -40,6 +54,8 @@ class CheckpointManager:
             metric < self.best_metric if lower_is_better else metric > self.best_metric
         ):
             self.best_metric = metric
+            if not self._primary:
+                return
             path = self.directory / "best"
             if path.exists():
                 import shutil
@@ -49,16 +65,56 @@ class CheckpointManager:
             self._best.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
-        return self._mgr.latest_step()
+        if self._primary:
+            return self._mgr.latest_step()
+        root = self.directory / "ckpts"
+        steps = [int(p.name) for p in root.glob("[0-9]*") if p.name.isdigit()]
+        return max(steps) if steps else None
 
     def restore(self, state_template: Any, step: Optional[int] = None):
         """Auto-resume (reference utils/misc.py:344-357 glob-by-mtime)."""
+        self._barrier("pre_restore")
         step = step if step is not None else self.latest_step()
         if step is None:
             return None, 0
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(state_template))
+        if self._primary:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(state_template))
+        else:
+            with ocp.StandardCheckpointer() as reader:
+                restored = reader.restore(
+                    self.directory / "ckpts" / str(step) / "default",
+                    state_template)
         return restored, step
 
+    def save_data_state(self, step: int, state: Optional[bytes]):
+        """Persist the loader iterator state (PrefetchIterator.state) so a
+        resumed run continues the exact batch stream (reference
+        DistInfiniteBatchSampler.start_ep/start_it,
+        utils/data_sampler.py:67-103). Per-process: every host owns its own
+        shard's stream."""
+        if state is None:
+            return
+        self.directory.mkdir(parents=True, exist_ok=True)
+        path = self.directory / f"data_state_rank{jax.process_index()}.bin"
+        tmp = path.with_suffix(".tmp")
+        with open(tmp, "wb") as f:
+            f.write(step.to_bytes(8, "little") + state)
+        os.replace(tmp, path)
+
+    def restore_data_state(self, step: int) -> Optional[bytes]:
+        """Returns the loader state saved at `step`, or None when absent or
+        from a different step (fall back to a fresh stream, as upstream)."""
+        path = self.directory / f"data_state_rank{jax.process_index()}.bin"
+        if not path.exists():
+            return None
+        blob = path.read_bytes()
+        saved_step = int.from_bytes(blob[:8], "little")
+        if saved_step != step:
+            return None
+        return blob[8:]
+
     def wait(self):
-        self._mgr.wait_until_finished()
+        if self._primary:
+            self._mgr.wait_until_finished()
+        self._barrier("wait")

@@ -50,7 +50,11 @@ def main():
     ap.add_argument("--crop_mode", choices=["center", "ten_crop"],
                     default="center")
     ap.add_argument("--batch_size", type=int, default=64)
+    from imagefolder_tpu.parallel.mesh import add_distributed_args, init_from_args
+
+    add_distributed_args(ap)
     args = ap.parse_args()
+    init_from_args(args)
 
     from imagefolder_tpu.data.imagenet import center_crop_arr, list_image_folder
     from imagefolder_tpu.models.tokenizer import VQModel
@@ -69,7 +73,15 @@ def main():
         {"params": p}, x, method=VQModel.encode_to_tokens))
 
     files, labels, _ = list_image_folder(data_path)
-    out = open(args.output, "w")
+    # per-rank slice + rank-0 merge (reference pretokenization.py:218-254
+    # writes pretokenized_{rank}.json, rank 0 merges to one jsonl)
+    rank, nproc = jax.process_index(), jax.process_count()
+    if nproc > 1:
+        files, labels = files[rank::nproc], labels[rank::nproc]
+        part_path = f"{args.output}.rank{rank}"
+    else:
+        part_path = args.output
+    out = open(part_path, "w")
     batch_imgs, batch_labels = [], []
 
     def flush():
@@ -96,6 +108,16 @@ def main():
                 flush()
     flush()
     out.close()
+    if nproc > 1:
+        from imagefolder_tpu.parallel.mesh import sync_global_devices
+
+        sync_global_devices("pretokenize")
+        if rank != 0:
+            return
+        with open(args.output, "w") as merged:
+            for i in range(nproc):
+                with open(f"{args.output}.rank{i}") as part:
+                    merged.write(part.read())
     print(f"wrote {args.output}")
 
 

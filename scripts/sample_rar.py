@@ -39,7 +39,11 @@ def main():
                     help="reference batch npz: run the full evaluator "
                          "(FID/sFID/IS/Prec/Recall) after sampling")
     ap.add_argument("--inception_ckpt", default=None)
+    from imagefolder_tpu.parallel.mesh import add_distributed_args, init_from_args
+
+    add_distributed_args(ap)
     args = ap.parse_args()
+    init_from_args(args)
 
     from imagefolder_tpu.models.rar import RAR, RARConfig, rar_generate
     from imagefolder_tpu.models.tokenizer import VQModel
@@ -68,11 +72,13 @@ def main():
     dec = jax.jit(lambda p, t: vae.apply({"params": p}, t,
                                          method=VQModel.decode_tokens))
 
-    # class-balanced label set (sample_imagenet_rar.py:94-101)
+    # class-balanced label set (sample_imagenet_rar.py:94-101); under
+    # multi-process each rank takes a strided slice (stays class-balanced)
     labels = np.tile(np.arange(args.num_classes),
                      -(-args.num_samples // args.num_classes))[:args.num_samples]
+    labels = labels[jax.process_index()::jax.process_count()]
     out = []
-    key = jax.random.PRNGKey(0)
+    key = jax.random.fold_in(jax.random.PRNGKey(0), jax.process_index())
     for i in range(0, len(labels), args.batch_size):
         lb = jnp.asarray(labels[i:i + args.batch_size])
         if len(lb) < args.batch_size:
@@ -84,7 +90,20 @@ def main():
         out.append(u8[:min(args.batch_size, len(labels) - i)])
         if i % (args.batch_size * 50) == 0:
             print(f"{i}/{len(labels)}")
-    arr = np.concatenate(out)[:args.num_samples]
+    arr = np.concatenate(out)
+    if jax.process_count() > 1:
+        # per-rank shard + rank-0 merge (reference writes per-rank PNG dirs
+        # then merges, sample_imagenet_rar.py:120-145)
+        from imagefolder_tpu.parallel.mesh import sync_global_devices
+
+        np.savez(f"{args.output}.rank{jax.process_index()}", arr_0=arr)
+        sync_global_devices("rar_samples")
+        if jax.process_index() != 0:
+            return
+        arr = np.concatenate([
+            np.load(f"{args.output}.rank{i}.npz")["arr_0"]
+            for i in range(jax.process_count())])
+    arr = arr[:args.num_samples]
     np.savez(args.output, arr_0=arr)
     print(f"wrote {args.output}: {arr.shape}")
 

@@ -38,7 +38,11 @@ def main():
                     help="reference batch npz: run the full evaluator "
                          "(FID/sFID/IS/Prec/Recall) after sampling")
     ap.add_argument("--inception_ckpt", default=None)
+    from imagefolder_tpu.parallel.mesh import add_distributed_args, init_from_args
+
+    add_distributed_args(ap)
     args = ap.parse_args()
+    init_from_args(args)
 
     from imagefolder_tpu.train.var_train import build_vae_var, var_sample
     from imagefolder_tpu.utils.config import load_tokenizer_config
@@ -61,7 +65,8 @@ def main():
 
     labels = np.tile(np.arange(args.num_classes),
                      -(-args.num_samples // args.num_classes))[:args.num_samples]
-    key = jax.random.PRNGKey(0)
+    labels = labels[jax.process_index()::jax.process_count()]
+    key = jax.random.fold_in(jax.random.PRNGKey(0), jax.process_index())
     out = []
     for i in range(0, len(labels), args.batch_size):
         lb = jnp.asarray(labels[i:i + args.batch_size])
@@ -71,7 +76,18 @@ def main():
         imgs = sample_fn(var_params, vae_params, lb, k)  # [0,1]
         u8 = np.asarray(jnp.clip(imgs * 255.0 + 0.5, 0, 255)).astype(np.uint8)
         out.append(u8[:min(args.batch_size, len(labels) - i)])
-    arr = np.concatenate(out)[:args.num_samples]
+    arr = np.concatenate(out)
+    if jax.process_count() > 1:
+        from imagefolder_tpu.parallel.mesh import sync_global_devices
+
+        np.savez(f"{args.output}.rank{jax.process_index()}", arr_0=arr)
+        sync_global_devices("var_samples")
+        if jax.process_index() != 0:
+            return
+        arr = np.concatenate([
+            np.load(f"{args.output}.rank{i}.npz")["arr_0"]
+            for i in range(jax.process_count())])
+    arr = arr[:args.num_samples]
     np.savez(args.output, arr_0=arr)
     print(f"wrote {args.output}: {arr.shape}")
 

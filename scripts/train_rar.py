@@ -39,14 +39,60 @@ class JsonlTokens:
     def __len__(self):
         return len(self.rows)
 
-    def batches(self, batch_size, seed=0):
-        rng = np.random.default_rng(seed)
-        while True:
-            idx = rng.permutation(len(self.rows))
-            for i in range(0, len(idx) - batch_size + 1, batch_size):
-                rows = [self.rows[j] for j in idx[i:i + batch_size]]
-                yield (np.asarray([r["tokens"] for r in rows], np.int32),
-                       np.asarray([r["class_id"] for r in rows], np.int32))
+    def batches(self, batch_size, seed=0, shard_index=0, shard_count=1):
+        return _JsonlBatchIter(self.rows, batch_size, seed, shard_index,
+                               shard_count)
+
+
+class _JsonlBatchIter:
+    """Infinite epoch-seeded-permutation batch stream with exact-resume
+    state (reference DistInfiniteBatchSampler.start_ep/start_it,
+    utils/data_sampler.py:67-103): epoch-seeded global permutation, strided
+    per-process slice, (epoch, cursor) checkpointable via
+    get_state/set_state."""
+
+    def __init__(self, rows, batch_size, seed=0, shard_index=0,
+                 shard_count=1):
+        self.rows = rows
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+        self.epoch = 0
+        self.cursor = 0
+        self._idx = None
+
+    def _epoch_idx(self):
+        if self._idx is None:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            self._idx = rng.permutation(
+                len(self.rows))[self.shard_index::self.shard_count]
+        return self._idx
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        idx = self._epoch_idx()
+        if self.cursor + self.batch_size > len(idx):
+            self.epoch += 1
+            self.cursor = 0
+            self._idx = None
+            idx = self._epoch_idx()
+        rows = [self.rows[j]
+                for j in idx[self.cursor:self.cursor + self.batch_size]]
+        self.cursor += self.batch_size
+        return (np.asarray([r["tokens"] for r in rows], np.int32),
+                np.asarray([r["class_id"] for r in rows], np.int32))
+
+    def get_state(self) -> bytes:
+        return json.dumps({"epoch": self.epoch,
+                           "cursor": self.cursor}).encode()
+
+    def set_state(self, blob: bytes):
+        st = json.loads(blob.decode())
+        self.epoch, self.cursor = st["epoch"], st["cursor"]
+        self._idx = None
 
 
 def main():
@@ -65,7 +111,11 @@ def main():
     ap.add_argument("--total_steps", type=int, default=250_000)
     ap.add_argument("--ckpt_every", type=int, default=10_000)
     ap.add_argument("--log_every", type=int, default=100)
+    from imagefolder_tpu.parallel.mesh import add_distributed_args, init_from_args
+
+    add_distributed_args(ap)
     args = ap.parse_args()
+    init_from_args(args)
 
     from imagefolder_tpu.models.rar import RAR, RARConfig
     from imagefolder_tpu.parallel.mesh import make_mesh, replicate, shard_batch
@@ -77,11 +127,15 @@ def main():
     from imagefolder_tpu.utils.ckpt import CheckpointManager
     from imagefolder_tpu.utils.logging import MetricLogger, create_logger
 
+    assert args.batch_size % jax.process_count() == 0
+    local_bs = args.batch_size // jax.process_count()
     logger = create_logger(args.output)
     if args.jsonl:
         data = JsonlTokens(args.jsonl)
         seq_len = len(data.rows[0]["tokens"])
-        batches = data.batches(args.batch_size)
+        batches = data.batches(local_bs,
+                               shard_index=jax.process_index(),
+                               shard_count=jax.process_count())
         logger.info(f"{len(data)} pretokenized rows, seq_len={seq_len}")
     else:
         assert args.config and args.vq_ckpt and args.data_path, \
@@ -114,6 +168,11 @@ def main():
 
     mlog = MetricLogger(logger, args.log_every)
     it = batches
+    if start and hasattr(it, "set_state"):
+        dstate = ckpt.restore_data_state(start)
+        if dstate is not None:
+            it.set_state(dstate)
+            logger.info("restored data-stream state")
     for step in range(start, args.total_steps):
         toks, labels = next(it)
         ratio = get_rar_random_ratio(tcfg.random_ratio_anneal_start,
@@ -129,6 +188,8 @@ def main():
             mlog.log(step + 1, args.total_steps)
         if (step + 1) % args.ckpt_every == 0:
             ckpt.save(step + 1, jax.device_get(state))
+            if hasattr(it, "get_state"):
+                ckpt.save_data_state(step + 1, it.get_state())
     ckpt.save(args.total_steps, jax.device_get(state))
     ckpt.wait()
 
@@ -151,8 +212,11 @@ def _online_tokens(args):
     seq_len = margs.num_latent_tokens * margs.product_quant
 
     def gen():
-        loader = make_dataloader(args.data_path, args.batch_size,
-                                 margs.image_size, train=True)
+        loader = make_dataloader(args.data_path,
+                                 args.batch_size // jax.process_count(),
+                                 margs.image_size, train=True,
+                                 shard_index=jax.process_index(),
+                                 shard_count=jax.process_count())
         while True:
             for b in loader:
                 toks = enc(params, jnp.asarray(b["image"]))

@@ -47,7 +47,11 @@ def main():
     ap.add_argument("--profile_steps", type=int, default=0,
                     help="capture a jax.profiler trace for N early steps")
     ap.add_argument("overrides", nargs="*")
+    from imagefolder_tpu.parallel.mesh import add_distributed_args, init_from_args
+
+    add_distributed_args(ap)
     args = ap.parse_args()
+    init_from_args(args)
 
     from imagefolder_tpu.data.imagenet import device_prefetch, make_dataloader
     from imagefolder_tpu.eval.psnr_ssim import psnr, ssim
@@ -68,7 +72,9 @@ def main():
     batch = run.global_batch_size
     assert batch % n_dev == 0
 
-    loader = make_dataloader(run.data_path, batch, margs.image_size,
+    assert batch % jax.process_count() == 0
+    loader = make_dataloader(run.data_path, batch // jax.process_count(),
+                             margs.image_size,
                              train=True, seed=run.seed,
                              shard_index=jax.process_index(),
                              shard_count=jax.process_count())
@@ -99,7 +105,13 @@ def main():
     total_steps = tcfg.epochs * tcfg.steps_per_epoch
 
     step = start_step
-    data_it = device_prefetch(iter(loader))
+    data_raw = iter(loader)
+    if start_step:
+        dstate = ckpt.restore_data_state(start_step)
+        if dstate is not None:
+            data_raw.set_state(dstate)
+            logger.info("restored data-stream state (exact batch-order resume)")
+    data_it = device_prefetch(data_raw)
     t0 = time.time()
     for epoch in range(start_step // tcfg.steps_per_epoch, run.epochs):
         ratio = get_random_ratio(run.anneal_start, run.anneal_end,
@@ -138,6 +150,7 @@ def main():
                 tracker.log(host, step)
             if step % run.ckpt_every == 0:
                 ckpt.save(step, jax.device_get(state))
+                ckpt.save_data_state(step, data_it.state)
                 if run.save_best and run.val_data_path:
                     m = validate(trainer, state, run, margs, logger)
                     ckpt.save_best(jax.device_get(state), m)
@@ -157,13 +170,16 @@ def validate(trainer, state, run, margs, logger, max_batches: int = 20):
                              train=False, num_epochs=1, drop_remainder=False)
     rec_fn = jax.jit(lambda v, x: trainer.model.apply(
         {"params": v}, x, method=VQModel.img_to_reconstructed_img))
+    # host-local copy: under multi-process the train state lives on the
+    # global mesh; val runs per-host on the local device
+    params = jax.device_get(state.ema_params if state.ema_params is not None
+                            else state.params)
     vals = []
     for i, b in enumerate(loader):
         if i >= max_batches:
             break
         x = jnp.asarray(b["image"])
-        r = rec_fn(state.ema_params if state.ema_params is not None
-                   else state.params, x)
+        r = rec_fn(params, x)
         vals.append(np.asarray(psnr(x * 0.5 + 0.5, r * 0.5 + 0.5)))
     m = float(np.mean(np.concatenate(vals))) if vals else 0.0
     logger.info(f"val PSNR: {m:.3f}")

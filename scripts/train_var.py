@@ -34,7 +34,11 @@ def main():
     ap.add_argument("--output", default="output/var")
     ap.add_argument("--log_every", type=int, default=100)
     ap.add_argument("--ckpt_every", type=int, default=5000)
+    from imagefolder_tpu.parallel.mesh import add_distributed_args, init_from_args
+
+    add_distributed_args(ap)
     args = ap.parse_args()
+    init_from_args(args)
 
     from imagefolder_tpu.data.imagenet import (
         device_prefetch,
@@ -76,10 +80,20 @@ def main():
         state = restored
         logger.info(f"resumed at step {start}")
 
-    loader = make_dataloader(run.data_path, args.batch_size, margs.image_size,
-                             train=True, seed=run.seed)
+    assert args.batch_size % jax.process_count() == 0
+    loader = make_dataloader(run.data_path,
+                             args.batch_size // jax.process_count(),
+                             margs.image_size, train=True, seed=run.seed,
+                             shard_index=jax.process_index(),
+                             shard_count=jax.process_count())
     mlog = MetricLogger(logger, args.log_every)
-    it = device_prefetch(iter(loader))
+    raw = iter(loader)
+    if start:
+        dstate = ckpt.restore_data_state(start)
+        if dstate is not None:
+            raw.set_state(dstate)
+            logger.info("restored data-stream state")
+    it = device_prefetch(raw)
     for step in range(start, total):
         try:
             b = next(it)
@@ -95,6 +109,7 @@ def main():
             mlog.log(step + 1, total)
         if (step + 1) % args.ckpt_every == 0:
             ckpt.save(step + 1, jax.device_get(state))
+            ckpt.save_data_state(step + 1, it.state)
     ckpt.save(total, jax.device_get(state))
     ckpt.wait()
 
