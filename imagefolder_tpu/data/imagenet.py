@@ -160,28 +160,60 @@ def make_dataloader(root: str, batch_size: int, image_size: int = 256, *,
     )
 
 
-def device_prefetch(it: Iterator, size: int = 2):
+class PrefetchIterator:
     """Host->device prefetch: keep `size` batches in flight (replaces the
-    reference's CUDA-stream prefetcher)."""
-    import collections
+    reference's CUDA-stream prefetcher, datasets/prefetcher.py:64-119).
 
-    import jax
+    Checkpointable: ``state`` returns the wrapped grain iterator's state as
+    of the last *consumed* batch (not the prefetched-ahead position), so a
+    resumed run continues the exact unbroken batch stream — the reference's
+    ``DistInfiniteBatchSampler.start_ep/start_it`` semantics
+    (utils/data_sampler.py:67-103). Each queue entry pairs the device batch
+    with the iterator state snapshotted right after that batch was pulled
+    (i.e. the state that resumes at the following batch).
+    """
 
-    queue = collections.deque()
+    def __init__(self, it: Iterator, size: int = 2):
+        import collections
 
-    def put(batch):
-        queue.append(jax.device_put(batch))
-
-    it = iter(it)
-    try:
+        self._it = iter(it)
+        self._queue = collections.deque()
+        self._size = size
+        self._state = self._snapshot()  # resume-at-start state
         for _ in range(size):
-            put(next(it))
-    except StopIteration:
-        pass
-    while queue:
-        out = queue.popleft()
+            self._pull()
+
+    def _snapshot(self):
+        get = getattr(self._it, "get_state", None)
+        return get() if get is not None else None
+
+    def _pull(self):
+        import jax
+
         try:
-            put(next(it))
+            batch = next(self._it)
         except StopIteration:
-            pass
-        yield out
+            return
+        self._queue.append((jax.device_put(batch), self._snapshot()))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if not self._queue:
+            raise StopIteration
+        batch, state = self._queue.popleft()
+        if state is not None:
+            self._state = state
+        self._pull()
+        return batch
+
+    @property
+    def state(self):
+        """Wrapped-iterator state resuming after the last consumed batch
+        (bytes for grain; None when the source isn't checkpointable)."""
+        return self._state
+
+
+def device_prefetch(it: Iterator, size: int = 2) -> PrefetchIterator:
+    return PrefetchIterator(it, size)

@@ -79,3 +79,76 @@ def test_loader_train_ckpt_eval_roundtrip(tiny_dataset, tmp_path):
                       method=VQModel.img_to_reconstructed_img)
     p = psnr(jnp.asarray(b["image"]) * 0.5 + 0.5, rec * 0.5 + 0.5)
     assert np.isfinite(np.asarray(p)).all()
+
+
+def test_data_order_resume_mid_epoch(tiny_dataset, tmp_path):
+    """Kill/resume mid-epoch reproduces the unbroken batch stream (VERDICT
+    r1 item 9; reference DistInfiniteBatchSampler.start_ep/start_it,
+    utils/data_sampler.py:67-103). Prefetch-ahead must not skip batches."""
+    from imagefolder_tpu.data.imagenet import device_prefetch, make_dataloader
+    from imagefolder_tpu.utils.ckpt import CheckpointManager
+
+    def fresh_loader():
+        return make_dataloader(str(tiny_dataset / "train"), 2, 32,
+                               train=True, seed=7, num_epochs=4,
+                               num_workers=0)
+
+    # uninterrupted run: 10 batches
+    ref = [np.asarray(b["image"])
+           for _, b in zip(range(10), device_prefetch(iter(fresh_loader())))]
+
+    # interrupted run: consume 4 batches (prefetcher has pulled ahead),
+    # checkpoint the data state, "crash"
+    ckpt = CheckpointManager(str(tmp_path / "run"))
+    it = device_prefetch(iter(fresh_loader()))
+    got = [np.asarray(next(it)["image"]) for _ in range(4)]
+    ckpt.save_data_state(4, it.state)
+
+    # resume in a new process-equivalent: new loader, restore state
+    raw = iter(fresh_loader())
+    blob = ckpt.restore_data_state(4)
+    assert blob is not None
+    raw.set_state(blob)
+    it2 = device_prefetch(raw)
+    got += [np.asarray(next(it2)["image"]) for _ in range(6)]
+
+    assert len(got) == len(ref)
+    for i, (a, b) in enumerate(zip(got, ref)):
+        np.testing.assert_array_equal(a, b, err_msg=f"batch {i} diverged")
+
+    # stale/mismatched step falls back to a fresh stream
+    assert ckpt.restore_data_state(5) is None
+
+
+def test_jsonl_batches_resume():
+    """RAR pretokenized stream: exact (epoch, cursor) resume across the
+    epoch boundary."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from scripts.train_rar import JsonlTokens
+
+    rows = [{"tokens": [i, i + 1], "class_id": i % 3} for i in range(11)]
+    data = JsonlTokens.__new__(JsonlTokens)
+    data.rows = rows
+
+    ref_it = data.batches(2, seed=3)
+    ref = [ref_it.__next__() for _ in range(12)]  # crosses epoch boundary
+
+    it = data.batches(2, seed=3)
+    got = [next(it) for _ in range(7)]
+    blob = it.get_state()
+    it2 = data.batches(2, seed=3)
+    it2.set_state(blob)
+    got += [next(it2) for _ in range(5)]
+    for (at, al), (bt, bl) in zip(got, ref):
+        np.testing.assert_array_equal(at, bt)
+        np.testing.assert_array_equal(al, bl)
+
+    # sharded slices partition the permutation per epoch
+    s0 = data.batches(2, seed=3, shard_index=0, shard_count=2)
+    s1 = data.batches(2, seed=3, shard_index=1, shard_count=2)
+    t0, _ = next(s0)
+    t1, _ = next(s1)
+    assert not np.array_equal(t0, t1)
