@@ -25,6 +25,26 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: repeat suite runs skip XLA recompiles.
-jax.config.update("jax_compilation_cache_dir", "/tmp/imagefolder_tpu_jax_cache")
+# Keyed by host CPU identity: XLA:CPU AOT results baked for another
+# machine's vector extensions abort with SIGILL when loaded (observed when
+# /tmp survives a host change), and the cache key does not cover this.
+import platform  # noqa: E402
+
+
+def _cpu_tag():
+    try:
+        import hashlib
+
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    return hashlib.md5(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return platform.machine()
+
+
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/imagefolder_tpu_jax_cache_{_cpu_tag()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
