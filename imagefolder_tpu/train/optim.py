@@ -50,14 +50,15 @@ def cosine_with_warmup(base_lr: float, warmup_steps: int, total_steps: int,
 
 
 def lr_wd_annealing(sched_type: str, peak_lr: float, wp_steps: float,
-                    max_steps: int, final_lr_ratio: float = 0.0):
+                    max_steps: int, final_lr_ratio: float = 0.0,
+                    wp0: float = 0.005):
     """Reference lr_wd_annealing schedule family (utils/lr_control.py:10-68).
-    Returns lr(step). wp warmup is linear from peak/wp_steps."""
+    Returns lr(step). Warmup is the reference's wp0 + (1-wp0)*it/wp ramp."""
 
     def sched(step):
         g = jnp.asarray(step, jnp.float32)
-        wp = max(wp_steps, 1.0)
-        warm = (g + 1) / wp
+        wp = max(round(wp_steps), 1.0)
+        warm = wp0 + (1 - wp0) * g / wp
         pasd = jnp.clip((g - wp) / max(max_steps - 1 - wp, 1), 0.0, 1.0)
         if sched_type == "cos":
             rest = final_lr_ratio + (1 - final_lr_ratio) * (0.5 + 0.5 * jnp.cos(jnp.pi * pasd))
@@ -71,6 +72,16 @@ def lr_wd_annealing(sched_type: str, peak_lr: float, wp_steps: float,
                              final_lr_ratio + (1 - final_lr_ratio) * (1 - pasd) / (1 - t))
         elif sched_type == "lin00":
             rest = final_lr_ratio + (1 - final_lr_ratio) * (1 - pasd)
+        elif sched_type.startswith("lin"):
+            # generic linT: ramp to the midpoint over the first T, then
+            # linear to final (lr_control.py:31-36)
+            t = float(sched_type[3:])
+            wpe_mid = final_lr_ratio + (1 - final_lr_ratio) * (1 - t)
+            wpe_mid = (1 + wpe_mid) / 2
+            rest = jnp.where(
+                pasd < t,
+                1 + (wpe_mid - 1) * pasd / t,
+                final_lr_ratio + (wpe_mid - final_lr_ratio) * (1 - pasd) / (1 - t))
         elif sched_type == "exp":
             t = 0.15
             w = jnp.clip((pasd - t) / (1 - t), 0.0, 1.0)
