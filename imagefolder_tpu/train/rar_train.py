@@ -84,7 +84,9 @@ class RARTrainer:
                              ema_params=jax.tree.map(jnp.copy, params),
                              step=jnp.zeros((), jnp.int32))
 
-    @partial(jax.jit, static_argnums=(0,))
+    # state donated: old+new params/opt/EMA never coexist in HBM (RAR-B
+    # at B=16 OOM'd a 16GB chip without this)
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
     def train_step(self, state: RARTrainState, tokens, labels, rng,
                    random_ratio):
         cfg = self.rar.config

@@ -267,7 +267,11 @@ class TokenizerTrainer:
                             fade_blur)
         return imgs
 
-    @partial(jax.jit, static_argnums=(0,), static_argnames=("fade_blur",))
+    # the incoming state is donated: params/opt/EMA buffers are updated in
+    # place on device, halving train-state HBM (old+new never coexist).
+    # Callers must not touch the passed-in state after the call.
+    @partial(jax.jit, static_argnums=(0,), static_argnames=("fade_blur",),
+             donate_argnums=(1,))
     def train_step(self, state: TokenizerTrainState, imgs, rng, *, epoch=0,
                    alpha=0.0, beta=0.0, delta_ratio=1.0, fade_blur: float = 0.0):
         tcfg = self.tcfg

@@ -134,7 +134,8 @@ class VARTrainer:
         loss = jnp.mean(jnp.sum(loss * lw, axis=-1))
         return loss, sum(accs) / p, sum(tails) / p
 
-    @partial(jax.jit, static_argnums=(0,))
+    # state donated: old+new params/opt/EMA never coexist in HBM
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
     def train_step(self, state: VARTrainState, imgs, labels, rng):
         idx_P = self.vae.apply({"params": state.vae_params}, imgs,
                                method=VQModel.img_to_idxBl)

@@ -1,6 +1,12 @@
 """Multi-device sharding: the dp/fsdp-sharded train step must reproduce the
 single-device numerics (XLA inserts the collectives; semantics are
-global-batch)."""
+global-batch).
+
+These tests run 8-virtual-device executables on a 1-core host: XLA's CPU
+collective rendezvous needs the generous timeouts conftest.py sets in
+XLA_FLAGS, or a loaded machine hits the terminate-timeout process exit
+(xla/service/rendezvous.cc).
+"""
 
 import jax
 import jax.numpy as jnp
@@ -41,10 +47,12 @@ def test_sharded_step_matches_single_device():
     tr = _trainer()
     key = jax.random.PRNGKey(0)
     imgs = jax.random.uniform(key, (8, 32, 32, 3), minval=-1, maxval=1)
-    state = tr.init(key, imgs[:2])
+    state0 = jax.device_get(tr.init(key, imgs[:2]))  # step donates its input
 
     # single-device baseline
+    state = jax.tree.map(jnp.asarray, state0)
     s1, m1 = tr.train_step(state, imgs, jax.random.PRNGKey(1), epoch=0)
+    state = jax.tree.map(jnp.asarray, state0)
 
     # dp(4) x fsdp(2) mesh: batch sharded, large params fsdp-sharded
     mesh = make_mesh(("data", "fsdp"), (4, 2))
@@ -97,11 +105,12 @@ def test_var_sharded_step_matches():
     labels = jnp.arange(8) % 10
     vae_params = vae.init(key, imgs[:2], train=False)["params"]
     tr = VARTrainer(vae, var, VARTrainConfig(total_steps=10, warmup_steps=2))
-    state = tr.init(key, vae_params, imgs[:2])
-    s1, m1 = tr.train_step(state, imgs, labels, jax.random.PRNGKey(1))
+    state0 = jax.device_get(tr.init(key, vae_params, imgs[:2]))
+    s1, m1 = tr.train_step(jax.tree.map(jnp.asarray, state0), imgs, labels,
+                           jax.random.PRNGKey(1))
 
     mesh = make_mesh(("data",), (8,))
-    state_sh = replicate(state, mesh)
+    state_sh = replicate(jax.tree.map(jnp.asarray, state0), mesh)
     batch = shard_batch({"x": imgs, "y": labels}, mesh)
     s2, m2 = tr.train_step(state_sh, batch["x"], batch["y"],
                            jax.random.PRNGKey(1))
@@ -122,8 +131,10 @@ def test_fsdp_pjit_in_shardings_donor_path():
     tr = _trainer()
     key = jax.random.PRNGKey(0)
     imgs = jax.random.uniform(key, (8, 32, 32, 3), minval=-1, maxval=1)
-    state = tr.init(key, imgs[:2])
+    state0 = jax.device_get(tr.init(key, imgs[:2]))  # step donates its input
+    state = jax.tree.map(jnp.asarray, state0)
     s1, m1 = tr.train_step(state, imgs, jax.random.PRNGKey(1), epoch=0)
+    state = jax.tree.map(jnp.asarray, state0)
 
     mesh = make_mesh(("data", "fsdp"), (4, 2))
     repl = NamedSharding(mesh, P())

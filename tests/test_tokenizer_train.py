@@ -31,6 +31,8 @@ def test_train_step_updates_and_finite():
     key = jax.random.PRNGKey(0)
     imgs = jax.random.uniform(key, (4, 32, 32, 3), minval=-1, maxval=1)
     state = tr.init(key, imgs)
+    # train_step donates its state: snapshot what the assertions compare
+    state0 = jax.device_get(state)
     s1, m1 = tr.train_step(state, imgs, jax.random.PRNGKey(1), epoch=0)
     s2, m2 = tr.train_step(s1, imgs, jax.random.PRNGKey(2), epoch=0)
     for k, v in m2.items():
@@ -38,11 +40,12 @@ def test_train_step_updates_and_finite():
     assert int(s2.step) == 2
     # generator params actually moved
     d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
-                     state.params, s2.params)
+                     state0.params, jax.device_get(s2.params))
     assert max(jax.tree.leaves(d)) > 0
     # frozen lpips untouched
-    same = jax.tree.map(lambda a, b: bool(jnp.array_equal(a, b)),
-                        state.lpips_params, s2.lpips_params)
+    same = jax.tree.map(lambda a, b: bool(np.array_equal(a, b)),
+                        state0.lpips_params,
+                        jax.device_get(s2.lpips_params))
     assert all(jax.tree.leaves(same))
     # EMA between old and new
     assert s2.ema_params is not None
@@ -51,7 +54,7 @@ def test_train_step_updates_and_finite():
     assert int(s2.record_hit) == 2
     # disc params moved
     dd = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
-                      state.disc_params, s2.disc_params)
+                      state0.disc_params, jax.device_get(s2.disc_params))
     assert max(jax.tree.leaves(dd)) > 0
 
 
@@ -80,9 +83,10 @@ def test_frozen_teachers_receive_no_updates():
     key = jax.random.PRNGKey(0)
     imgs = jax.random.uniform(key, (2, 32, 32, 3), minval=-1, maxval=1)
     state = tr.init(key, imgs)
+    sem0 = jax.device_get(state.params["semantic_model"])
     s1, m1 = tr.train_step(state, imgs, jax.random.PRNGKey(1), epoch=0)
-    same = jax.tree.map(lambda a, b: bool(jnp.array_equal(a, b)),
-                        state.params["semantic_model"],
-                        s1.params["semantic_model"])
+    same = jax.tree.map(lambda a, b: bool(np.array_equal(a, b)),
+                        sem0,
+                        jax.device_get(s1.params["semantic_model"]))
     assert all(jax.tree.leaves(same))
     assert float(m1["sem_loss"]) != 0.0

@@ -128,15 +128,17 @@ def test_var_train_step_and_sampling():
     tr = VARTrainer(vae, var, VARTrainConfig(total_steps=10, warmup_steps=2))
     state = tr.init(key, vae_params, imgs)
     labels = jnp.asarray([1, 2])
+    params0 = jax.device_get(state.params)  # train_step donates state
     s1, m1 = tr.train_step(state, imgs, labels, jax.random.PRNGKey(1))
     s2, m2 = tr.train_step(s1, imgs, labels, jax.random.PRNGKey(2))
     assert np.isfinite(float(m2["loss"]))
     assert 0.0 <= float(m2["acc_mean"]) <= 100.0
     d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
-                     state.params, s2.params)
+                     params0, jax.device_get(s2.params))
     assert max(jax.tree.leaves(d)) > 0
 
-    img = var_sample(var, s2.params, vae, vae_params,
+    # vae_params was captured into the (donated) state — use the live copy
+    img = var_sample(var, s2.params, vae, s2.vae_params,
                      jnp.asarray([0, 1]), jax.random.PRNGKey(3),
                      cfg_scale=1.5, top_k=8, top_p=0.9)
     assert img.shape == (2, 6, 6, 3)
