@@ -13,4 +13,7 @@ dryrun:          ## multi-chip sharding dry run on 8 virtual CPU devices
 entry:           ## single-chip compile check of the flagship forward
 	python __graft_entry__.py
 
-.PHONY: test bench dryrun entry
+verify-zoo:      ## checkpoint verification (set CKPT=... CONFIG=...)
+	python scripts/verify_zoo.py --config $(CONFIG) --ckpt $(CKPT) --strict
+
+.PHONY: test bench dryrun entry verify-zoo
