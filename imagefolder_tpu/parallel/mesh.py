@@ -51,12 +51,13 @@ def init_distributed(coordinator: Optional[str] = None,
         num_processes = int(env["JAX_NUM_PROCESSES"])
     if process_id is None and env.get("JAX_PROCESS_ID"):
         process_id = int(env["JAX_PROCESS_ID"])
-    autodetect = env.get("TPU_WORKER_HOSTNAMES") or env.get("MEGASCALE_COORDINATOR_ADDRESS")
-    if coordinator is None and not autodetect:
+    if coordinator is None:
+        # Multi-host is explicit-opt-in only. No bare autodetect: tunneled
+        # single-chip environments (axon) export TPU pod variables like
+        # TPU_WORKER_HOSTNAMES, and jax.distributed.initialize() without a
+        # coordinator raises there instead of detecting a pod.
         return False
-    kwargs = {}
-    if coordinator is not None:
-        kwargs["coordinator_address"] = coordinator
+    kwargs = {"coordinator_address": coordinator}
     if num_processes is not None:
         kwargs["num_processes"] = num_processes
     if process_id is not None:
