@@ -83,3 +83,38 @@ def test_viz_and_classes():
     assert gg.shape == (2 * 8, 2 * 8, 3)
     names = imagenet_idx2classname()
     assert len(names) == 1000 and isinstance(names[0], str)
+
+
+def test_convert_to_wds_roundtrip(tmp_path):
+    """Folder -> tar shards -> WebDatasetReader roundtrip (reference
+    convert_imagenet_to_wds.py shard layout: <key>.jpg + <key>.cls)."""
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+    from PIL import Image
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from scripts.convert_to_wds import write_shards
+
+    rng = np.random.default_rng(0)
+    for c in range(2):
+        d = tmp_path / "train" / f"class_{c}"
+        d.mkdir(parents=True)
+        for i in range(4):
+            Image.fromarray((rng.random((40, 40, 3)) * 255).astype(np.uint8)
+                            ).save(d / f"{i}.jpg")
+    n, shards = write_shards(str(tmp_path / "train"), str(tmp_path / "wds"),
+                             "toy", samples_per_shard=3)
+    assert (n, shards) == (8, 3)
+
+    from imagefolder_tpu.data.webdataset import WebDatasetReader
+
+    reader = WebDatasetReader(
+        str(tmp_path / "wds" / "toy-{000000..000002}.tar"),
+        image_size=32, train=False)
+    samples = [s for _, s in zip(range(8), iter(reader))]
+    assert len(samples) == 8
+    labels = sorted({int(s["label"]) for s in samples})
+    assert labels == [0, 1]
+    assert samples[0]["image"].shape == (32, 32, 3)

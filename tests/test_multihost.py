@@ -51,3 +51,21 @@ def test_two_process_cpu_smoke():
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
         assert f"OK rank={rank}" in out, out
+
+
+def test_init_distributed_is_explicit_opt_in():
+    """No coordinator (flag or env) -> single-process no-op, even when
+    TPU-pod-looking variables are present (axon exports them on tunneled
+    single-chip setups; bare jax.distributed.initialize raises there)."""
+    from imagefolder_tpu.parallel.mesh import init_distributed
+
+    stash = {k: os.environ.pop(k, None)
+             for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")}
+    os.environ["TPU_WORKER_HOSTNAMES"] = "host0,host1"
+    try:
+        assert init_distributed() is False
+    finally:
+        os.environ.pop("TPU_WORKER_HOSTNAMES", None)
+        for k, v in stash.items():
+            if v is not None:
+                os.environ[k] = v
