@@ -13,7 +13,7 @@ TF1 runtime needed.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Iterable, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

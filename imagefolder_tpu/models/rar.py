@@ -19,7 +19,6 @@ TPU-first:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import flax.linen as nn
 import jax

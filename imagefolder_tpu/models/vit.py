@@ -23,7 +23,7 @@ input length is ``num_img+1 + num_latent+1``.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax
