@@ -216,3 +216,34 @@ def test_diffaug_golden_vs_reference():
                                  warmup_blur_schedule=0.5)))
     ours_blur = np.asarray(warmup_blur(xj, 0.5))
     np.testing.assert_allclose(ours_blur, ref_blur, atol=1e-5)
+
+
+def test_clip_loss_golden():
+    """clip_loss / siglip_loss vs reference cliploss.ClipLoss/SigLipLoss
+    (world_size=1: the grad-carrying all_gather is the identity; under pjit
+    the global batch IS the gathered batch)."""
+    import torch
+
+    from tests.ref_utils import ref_path
+
+    ref_path()
+    from tokenizer.tokenizer_image.cliploss import ClipLoss as RefClip
+    from tokenizer.tokenizer_image.cliploss import SigLipLoss as RefSigLip
+
+    from imagefolder_tpu.losses.clip_loss import clip_loss, siglip_loss
+
+    g = torch.Generator().manual_seed(0)
+    a = torch.nn.functional.normalize(torch.randn(6, 16, generator=g), dim=-1)
+    b = torch.nn.functional.normalize(torch.randn(6, 16, generator=g), dim=-1)
+    scale = 31.7
+
+    want = float(RefClip()(a, b, torch.tensor(scale)))
+    got = float(clip_loss(jnp.asarray(a.numpy()), jnp.asarray(b.numpy()),
+                          scale))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    want_s = float(RefSigLip()(a, b, torch.tensor(scale),
+                               torch.tensor(-5.0)))
+    got_s = float(siglip_loss(jnp.asarray(a.numpy()), jnp.asarray(b.numpy()),
+                              scale, logit_bias=-5.0))
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-5)

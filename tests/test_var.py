@@ -160,3 +160,38 @@ def test_var_sampling_pq2_joint():
                      jax.random.PRNGKey(1), cfg_scale=2.0, top_k=4,
                      joint_sample=True)
     assert img.shape == (2, 6, 6, 3)
+
+
+def test_512px_patch_nums_shapes():
+    """The 512px recipe (reference arg_util.py:287-291:
+    pn='1_2_3_4_6_9_13_18_24_32', L=2240, 32x32 latent) must trace through
+    the quantizer chain and VAR without shape errors — checked via
+    jax.eval_shape, no heavy compute."""
+    from imagefolder_tpu.models.var import VAR, VARConfig
+    from imagefolder_tpu.ops.quantize import MultiScaleVQ
+
+    pns = (1, 2, 3, 4, 6, 9, 13, 18, 24, 32)
+    L = sum(p * p for p in pns)
+    assert L == 2240  # (SURVEY.md's 2280 was a miscount)
+
+    q = MultiScaleVQ(vocab_size=64, Cvae=8, v_patch_nums=pns,
+                     num_latent_tokens=32 * 32)
+    f = jax.ShapeDtypeStruct((2, 32, 32, 8), jnp.float32)
+    vars_shape = jax.eval_shape(q.init, jax.random.PRNGKey(0), f)
+    out = jax.eval_shape(
+        lambda v, x: q.apply(v, x, train=False), vars_shape, f)
+    assert out.f_hat.shape == (2, 32, 32, 8)
+
+    var = VAR(VARConfig(vocab_size=64, Cvae=8, num_classes=10, depth=2,
+                        embed_dim=64, num_heads=2, patch_nums=pns,
+                        drop_path_rate=0.0, cond_drop_rate=0.0, p_drop=0.0))
+    x_in = jax.ShapeDtypeStruct((2, L - 1, 8), jnp.float32)
+    lb = jax.ShapeDtypeStruct((2,), jnp.int32)
+    pv = jax.eval_shape(
+        lambda l, x: var.init({"params": jax.random.PRNGKey(0),
+                               "sample": jax.random.PRNGKey(1),
+                               "droppath": jax.random.PRNGKey(2)},
+                              l, x, train=False), lb, x_in)
+    logits = jax.eval_shape(
+        lambda v, l, x: var.apply(v, l, x, train=False), pv, lb, x_in)
+    assert logits.shape == (2, L, 64)
