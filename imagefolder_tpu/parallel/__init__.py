@@ -1,5 +1,6 @@
 from imagefolder_tpu.parallel.mesh import (
     fsdp_shard_params,
+    tp_shard_params,
     init_distributed,
     make_mesh,
     process_allgather,
@@ -9,4 +10,5 @@ from imagefolder_tpu.parallel.mesh import (
 )
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "fsdp_shard_params",
+           "tp_shard_params",
            "init_distributed", "sync_global_devices", "process_allgather"]

@@ -151,6 +151,39 @@ def fsdp_shard_params(params, mesh: Mesh, axis: str = "fsdp",
     return jax.tree.map(rule, params)
 
 
+# Megatron-style tensor-parallel rules for the transformer Dense stacks
+# (ViT / VAR / RAR all use these layer names): fused-qkv and fc1 kernels are
+# column-sharded (output dim), proj/fc2 row-sharded (input dim), so the
+# pairwise matmuls keep activations head/ffn-sharded and XLA inserts one
+# psum per row-sharded layer. Anything else stays replicated.
+_TP_COLUMN = {"mat_qkv", "qkv", "fc1", "q", "k", "v"}
+_TP_ROW = {"proj", "fc2", "proj_out"}
+
+
+def tp_shard_params(params, mesh: Mesh, axis: str = "model"):
+    """Tensor-parallel NamedSharding tree for pjit in_shardings. Composes
+    with a ('data', 'model') mesh: batch on 'data', these rules on 'model'.
+    The reference has no TP (SURVEY §2e: DP only); this is TPU-first
+    headroom for wider models."""
+    n = mesh.shape[axis]
+
+    def rule(path, x):
+        names = [str(getattr(k, "key", k)) for k in path]
+        leaf = names[-1] if names else ""
+        parent = names[-2] if len(names) > 1 else ""
+        if leaf == "kernel" and x.ndim == 2:
+            if parent in _TP_COLUMN and x.shape[1] % n == 0:
+                return NamedSharding(mesh, P(None, axis))
+            if parent in _TP_ROW and x.shape[0] % n == 0:
+                return NamedSharding(mesh, P(axis, None))
+        if leaf == "bias" and parent in _TP_COLUMN and x.ndim == 1 \
+                and x.shape[0] % n == 0:
+            return NamedSharding(mesh, P(axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
 def process_index() -> int:
     return jax.process_index()
 

@@ -119,6 +119,15 @@ def load_tokenizer_config(
         model_kwargs["decoder_ch_mult"] = _CH_MULTS[run.vq_model]
     if run.delta > 0:
         model_kwargs.setdefault("perturb_delta_max", int(run.delta))
+    # mixed_precision (reference --mixed-precision, default bf16: the whole
+    # generator/disc pass runs under autocast(bf16), xqgan_train.py:419,449)
+    # maps to the activation dtype; params stay fp32 either way. fp16 needs
+    # no GradScaler on TPU — bf16 has fp32's exponent range.
+    if "dtype_str" not in model_kwargs:
+        mp = str(run.mixed_precision)
+        model_kwargs["dtype_str"] = {
+            "bf16": "bfloat16", "fp16": "bfloat16", "none": "float32",
+        }.get(mp, "float32")
     margs = ModelArgs(**model_kwargs)
 
     train_kwargs.setdefault("disc_lr", train_kwargs.get("lr", 1e-4))

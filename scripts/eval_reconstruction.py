@@ -45,7 +45,10 @@ def main():
     from imagefolder_tpu.utils.config import load_tokenizer_config
     from scripts.pretokenize import _load_params
 
-    margs, _, run = load_tokenizer_config(args.config)
+    # the canonical rFID protocol evaluates at fp32 (the reference's eval
+    # leg runs outside the autocast block, xqgan_train.py:522-534)
+    margs, _, run = load_tokenizer_config(args.config,
+                                          {"dtype_str": "float32"})
     val = args.val_data or run.val_data_path
     model = VQModel(margs)
     params = _load_params(args.vq_ckpt, model, margs)

@@ -277,7 +277,10 @@ def main():
 
     from imagefolder_tpu.utils.config import load_tokenizer_config
 
-    margs, _, _ = load_tokenizer_config(args.config)
+    # bit-parity verification must run fp32 regardless of the training
+    # recipe's mixed_precision (bf16 activations flip near-tied argmax)
+    margs, _, _ = load_tokenizer_config(args.config,
+                                        {"dtype_str": "float32"})
     sd = torch.load(args.ckpt, map_location="cpu", weights_only=False)
     if isinstance(sd, dict):
         for k in ("ema", "model", "state_dict"):

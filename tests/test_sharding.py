@@ -186,3 +186,61 @@ def test_fsdp_pjit_in_shardings_donor_path():
     assert sharded > 0, "no parameter was actually fsdp-sharded"
     # the donated state buffer was released
     assert donated_leaf.is_deleted()
+
+
+def test_var_tp_dp_step_matches_single_device():
+    """Tensor parallelism over a ('data', 'model') mesh: Megatron-style
+    column/row kernel sharding (tp_shard_params) on the VAR transformer,
+    batch on 'data'. The reference has no TP (SURVEY §2e) — this asserts
+    the TPU-first capability preserves single-device numerics."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from imagefolder_tpu.models.tokenizer import VQModel
+    from imagefolder_tpu.models.var import VAR, VARConfig
+    from imagefolder_tpu.parallel.mesh import tp_shard_params
+    from imagefolder_tpu.train.var_train import VARTrainConfig, VARTrainer
+
+    margs = ModelArgs(
+        codebook_size=32, codebook_embed_dim=8,
+        encoder_ch_mult=(1, 2), decoder_ch_mult=(1, 2), z_channels=32,
+        enc_type="cnn", dec_type="cnn", semantic_guide="none",
+        detail_guide="none", num_latent_tokens=9, image_size=6,
+        v_patch_nums=(1, 2, 3),
+    )
+    vae = VQModel(margs)
+    var = VAR(VARConfig(vocab_size=32, Cvae=8, num_classes=10, depth=2,
+                        embed_dim=64, num_heads=2, patch_nums=(1, 2, 3),
+                        drop_path_rate=0.0, cond_drop_rate=0.0, p_drop=0.0))
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (8, 6, 6, 3), minval=-1, maxval=1)
+    labels = jnp.arange(8) % 10
+    vae_params = vae.init(key, imgs[:2], train=False)["params"]
+    tr = VARTrainer(vae, var, VARTrainConfig(total_steps=10, warmup_steps=2))
+    state0 = jax.device_get(tr.init(key, vae_params, imgs[:2]))
+    s1, m1 = tr.train_step(jax.tree.map(jnp.asarray, state0), imgs, labels,
+                           jax.random.PRNGKey(1))
+
+    mesh = make_mesh(("data", "model"), (4, 2))
+    params_tp = tp_shard_params(state0.params, mesh, axis="model")
+    # at least the qkv/proj/fc kernels must actually shard
+    specs = jax.tree.leaves(
+        params_tp, is_leaf=lambda x: isinstance(x, NamedSharding))
+    assert sum(any(s is not None for s in sp.spec) for sp in specs) >= 8
+    repl = NamedSharding(mesh, P())
+    state_tp = state0.__class__(
+        params=jax.tree.map(lambda x, s: jax.device_put(jnp.asarray(x), s),
+                            state0.params, params_tp),
+        opt_state=jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), repl), state0.opt_state),
+        vae_params=jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), repl), state0.vae_params),
+        ema_params=None,
+        step=jax.device_put(jnp.asarray(state0.step), repl),
+    )
+    batch = shard_batch({"x": imgs, "y": labels}, mesh)
+    s2, m2 = tr.train_step(state_tp, batch["x"], batch["y"],
+                           jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m1["acc_mean"]), float(m2["acc_mean"]),
+                               rtol=1e-4)
