@@ -23,6 +23,8 @@ from imagefolder_tpu.data.imagenet import (
     ImageFolderSource,
     center_crop_arr,
     list_image_folder,
+    make_grain_loader,
+    stable_record_rng,
     _random_crop_plan,
 )
 
@@ -33,13 +35,16 @@ __all__ = [
 
 
 def _load_image_record(path: str, image_size: int, train: bool, idx: int,
-                       hflip: bool = True):
+                       hflip: bool = True, rng=None):
     """Shared decode -> ADM crop -> flip -> [-1,1] pipeline (same math as
-    ImageFolderSource.__getitem__)."""
+    ImageFolderSource). ``rng`` comes from grain's per-visit sampler when
+    loading through ``make_loader`` (per-epoch redraw); standalone access
+    falls back to a stable crc32 per-record seed."""
     from imagefolder_tpu.data._native import crop_flip_normalize
 
     img = Image.open(path).convert("RGB")
-    rng = np.random.default_rng((hash(path) ^ idx) & 0x7FFFFFFF)
+    if rng is None:
+        rng = stable_record_rng(path, idx)
     if train:
         arr, oy, ox = _random_crop_plan(img, image_size, rng)
         flip = bool(hflip and rng.random() < 0.5)
@@ -67,10 +72,13 @@ class SingleFolderSource:
     def __len__(self):
         return len(self.files)
 
-    def __getitem__(self, idx: int):
+    def getitem_with_rng(self, idx: int, rng):
         x = _load_image_record(self.files[idx], self.image_size, self.train,
-                               idx)
+                               idx, rng=rng)
         return {"image": x, "label": np.int32(0)}
+
+    def __getitem__(self, idx: int):
+        return self.getitem_with_rng(idx, None)
 
 
 @dataclasses.dataclass
@@ -95,17 +103,21 @@ class JsonPathsSource:
     def __len__(self):
         return len(self.paths)
 
-    def __getitem__(self, idx: int):
+    def getitem_with_rng(self, idx: int, rng):
         # reference retries random indices 20x on decode errors
         # (openimage.py:24-30); deterministic neighbour-walk here
         for attempt in range(self.retries):
             try:
                 path = os.path.join(self.data_path, self.paths[idx])
-                x = _load_image_record(path, self.image_size, self.train, idx)
+                x = _load_image_record(path, self.image_size, self.train, idx,
+                                       rng=rng)
                 return {"image": x, "label": np.int32(0)}
             except Exception:
                 idx = (idx + 1) % len(self.paths)
         raise RuntimeError("Too many bad data.")
+
+    def __getitem__(self, idx: int):
+        return self.getitem_with_rng(idx, None)
 
 
 @dataclasses.dataclass
@@ -133,8 +145,9 @@ class CodeSource:
     def __len__(self):
         return self.num_records
 
-    def __getitem__(self, idx: int):
-        rng = np.random.default_rng(idx)
+    def getitem_with_rng(self, idx: int, rng):
+        if rng is None:  # standalone access: stable per-record seed
+            rng = stable_record_rng(self.feature_dir, idx)
         fdir, ldir = self.feature_dir, self.label_dir
         if self.aug is not None and rng.random() < 0.5:
             fdir, ldir = self.aug
@@ -143,6 +156,9 @@ class CodeSource:
             feats = feats[:, rng.integers(feats.shape[1])]
         labels = np.load(os.path.join(ldir, f"{idx}.npy"))
         return {"tokens": feats, "label": labels}
+
+    def __getitem__(self, idx: int):
+        return self.getitem_with_rng(idx, None)
 
 
 def _collect_jsonl_rows(lst_dir: str, suffix: str = ".jsonl"):
@@ -178,11 +194,14 @@ class Text2ImgImageSource:
     def __len__(self):
         return len(self.rows)
 
-    def __getitem__(self, idx: int):
+    def getitem_with_rng(self, idx: int, rng):
         path, code_dir, line_idx = self.rows[idx]
-        x = _load_image_record(path, self.image_size, self.train, idx)
+        x = _load_image_record(path, self.image_size, self.train, idx, rng=rng)
         return {"image": x, "code_dir": code_dir,
                 "code_name": np.int32(line_idx)}
+
+    def __getitem__(self, idx: int):
+        return self.getitem_with_rng(idx, None)
 
 
 @dataclasses.dataclass
@@ -220,7 +239,7 @@ class Text2ImgSource:
             "valid": np.int32(0),
         }
 
-    def __getitem__(self, idx: int):
+    def getitem_with_rng(self, idx: int, rng):
         path, code_dir, code_name = self.rows[idx]
         try:
             img = Image.open(path).convert("RGB")
@@ -228,7 +247,8 @@ class Text2ImgSource:
             return self._dummy()
         if min(img.size) < self.image_size:
             return self._dummy()
-        rng = np.random.default_rng((hash(path) ^ idx) & 0x7FFFFFFF)
+        if rng is None:
+            rng = stable_record_rng(path, idx)
         from imagefolder_tpu.data._native import crop_flip_normalize
 
         if self.train:
@@ -268,6 +288,9 @@ class Text2ImgSource:
         return {"image": x, "t5_feat": pad, "attn_mask": attn.astype(bool),
                 "valid": np.int32(1)}
 
+    def __getitem__(self, idx: int):
+        return self.getitem_with_rng(idx, None)
+
 
 def build_dataset(name: str, **kwargs):
     """Source registry (reference ``dataset/build.py:8-40``)."""
@@ -299,21 +322,8 @@ def make_loader(source, batch_size: int, *, train: bool = True, seed: int = 0,
                 shard_index: int = 0, shard_count: int = 1,
                 drop_remainder: bool = True):
     """grain DataLoader over any registry source (same pipeline contract as
-    ``make_dataloader``)."""
-    import grain.python as grain
-
-    num_workers = max(0, min(num_workers, len(source) // max(batch_size, 1)))
-    sampler = grain.IndexSampler(
-        num_records=len(source),
-        shuffle=train,
-        seed=seed,
-        num_epochs=num_epochs,
-        shard_options=grain.ShardOptions(shard_index, shard_count,
-                                         drop_remainder=train),
-    )
-    return grain.DataLoader(
-        data_source=source,
-        sampler=sampler,
-        operations=[grain.Batch(batch_size, drop_remainder=drop_remainder)],
-        worker_count=num_workers,
-    )
+    ``make_dataloader``, incl. per-visit augmentation rng)."""
+    return make_grain_loader(
+        source, batch_size, train=train, seed=seed, num_workers=num_workers,
+        num_epochs=num_epochs, shard_index=shard_index,
+        shard_count=shard_count, drop_remainder=drop_remainder)

@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import os
+import zlib
 from pathlib import Path
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -91,9 +92,23 @@ def list_image_folder(root: str) -> Tuple[List[str], List[int], List[str]]:
     return files, labels, classes
 
 
+def stable_record_rng(key: str, idx: int) -> np.random.Generator:
+    """Deterministic per-record rng for standalone ``source[idx]`` access:
+    crc32 (stable across processes/resumes, unlike salted ``hash()``) mixed
+    with the record index."""
+    return np.random.default_rng((zlib.crc32(key.encode()) ^ idx) & 0x7FFFFFFF)
+
+
 @dataclasses.dataclass
 class ImageFolderSource:
-    """grain RandomAccessDataSource over an image folder."""
+    """grain RandomAccessDataSource over an image folder.
+
+    Augmentation randomness: through ``make_dataloader`` each *visit* draws a
+    fresh rng from grain's sampler (seed + global index), so the reference's
+    per-epoch redraw semantics hold (``dataset/imagenet.py`` CustomDataset
+    draws torch.rand per visit). Standalone ``source[idx]`` uses a stable
+    crc32 seed and is deterministic.
+    """
 
     files: Sequence[str]
     labels: Sequence[int]
@@ -104,7 +119,7 @@ class ImageFolderSource:
     def __len__(self):
         return len(self.files)
 
-    def __getitem__(self, idx: int):
+    def getitem_with_rng(self, idx: int, rng: np.random.Generator):
         # bad-image retry (reference dataset/openimage.py:24-30): fall back to
         # a neighbouring record instead of killing the worker
         for attempt in range(4):
@@ -115,7 +130,6 @@ class ImageFolderSource:
                 idx = (idx + 1) % len(self.files)
         else:
             img = Image.new("RGB", (self.image_size, self.image_size))
-        rng = np.random.default_rng((hash(self.files[idx]) ^ idx) & 0x7FFFFFFF)
         from imagefolder_tpu.data._native import crop_flip_normalize
 
         if self.train:
@@ -129,18 +143,58 @@ class ImageFolderSource:
                                     self.image_size, False)
         return {"image": x, "label": np.int32(self.labels[idx])}
 
+    def __getitem__(self, idx: int):
+        return self.getitem_with_rng(idx, stable_record_rng(self.files[idx],
+                                                            idx))
 
-def make_dataloader(root: str, batch_size: int, image_size: int = 256, *,
-                    train: bool = True, seed: int = 0, num_workers: int = 8,
-                    num_epochs: Optional[int] = None, shard_index: int = 0,
-                    shard_count: int = 1, drop_remainder: bool = True):
-    """grain DataLoader over an ImageFolder tree: shuffled, sharded across
-    hosts, worker-parallel decode (reference DataLoader+DistributedSampler,
-    xqgan_train.py:232-247)."""
+
+class _IndexSource:
+    """Trivial source yielding record keys; the real record build happens in
+    ``_BuildRecordOp`` where grain's per-visit rng is available."""
+
+    def __init__(self, n: int):
+        self._n = n
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, idx: int):
+        return idx
+
+    def __repr__(self):
+        # grain validates checkpoints against repr(data_source): must be
+        # stable across processes (no default object-identity repr)
+        return f"_IndexSource(n={self._n})"
+
+
+def _build_record_op(source):
+    """RandomMapTransform wrapping ``source.getitem_with_rng``: the rng grain
+    hands in is seeded from (sampler seed, global visit index), so every epoch
+    redraws augmentations (reference per-visit ``torch.rand``) while staying
+    deterministic across worker processes and checkpoint resume."""
     import grain.python as grain
 
-    files, labels, _ = list_image_folder(root)
-    source = ImageFolderSource(files, labels, image_size, train)
+    class _BuildRecordOp(grain.RandomMapTransform):
+        def __init__(self, src):
+            self._src = src
+
+        def random_map(self, idx, rng):
+            build = getattr(self._src, "getitem_with_rng", None)
+            if build is not None:
+                return build(idx, rng)
+            return self._src[idx]
+
+    return _BuildRecordOp(source)
+
+
+def make_grain_loader(source, batch_size: int, *, train: bool = True,
+                      seed: int = 0, num_workers: int = 8,
+                      num_epochs: Optional[int] = None, shard_index: int = 0,
+                      shard_count: int = 1, drop_remainder: bool = True):
+    """grain DataLoader over any RandomAccess source: shuffled, sharded across
+    hosts, worker-parallel decode, per-visit augmentation rng."""
+    import grain.python as grain
+
     # grain batches per worker: keep every worker's shard >= one batch, or
     # small datasets would yield undersized/empty batches
     num_workers = max(0, min(num_workers, len(source) // max(batch_size, 1)))
@@ -153,11 +207,26 @@ def make_dataloader(root: str, batch_size: int, image_size: int = 256, *,
                                          drop_remainder=train),
     )
     return grain.DataLoader(
-        data_source=source,
+        data_source=_IndexSource(len(source)),
         sampler=sampler,
-        operations=[grain.Batch(batch_size, drop_remainder=drop_remainder)],
+        operations=[_build_record_op(source),
+                    grain.Batch(batch_size, drop_remainder=drop_remainder)],
         worker_count=num_workers,
     )
+
+
+def make_dataloader(root: str, batch_size: int, image_size: int = 256, *,
+                    train: bool = True, seed: int = 0, num_workers: int = 8,
+                    num_epochs: Optional[int] = None, shard_index: int = 0,
+                    shard_count: int = 1, drop_remainder: bool = True):
+    """grain DataLoader over an ImageFolder tree (reference
+    DataLoader+DistributedSampler, xqgan_train.py:232-247)."""
+    files, labels, _ = list_image_folder(root)
+    source = ImageFolderSource(files, labels, image_size, train)
+    return make_grain_loader(
+        source, batch_size, train=train, seed=seed, num_workers=num_workers,
+        num_epochs=num_epochs, shard_index=shard_index,
+        shard_count=shard_count, drop_remainder=drop_remainder)
 
 
 class PrefetchIterator:

@@ -30,12 +30,16 @@ class CheckpointManager:
         self._primary = jax.process_index() == 0
         if self._primary:
             self.directory.mkdir(parents=True, exist_ok=True)
+        self._barrier("mkdir")  # non-primary waits for the tree to exist
+        # every process constructs (and calls) the same manager — orbax is
+        # multi-process aware (primary-host writes, internal syncs), so all
+        # paths go through the public API instead of hardcoding the layout
         self._mgr = ocp.CheckpointManager(
             str(self.directory / "ckpts"),
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True),
-        ) if self._primary else None
-        self._best = ocp.StandardCheckpointer() if self._primary else None
+        )
+        self._best = ocp.StandardCheckpointer()
         self.best_metric: Optional[float] = None
 
     def _barrier(self, tag: str):
@@ -45,8 +49,8 @@ class CheckpointManager:
             multihost_utils.sync_global_devices(f"ckpt_{tag}")
 
     def save(self, step: int, state: Any):
-        if self._primary:
-            self._mgr.save(step, args=ocp.args.StandardSave(state))
+        # called on every process; orbax gates the actual writes internally
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
 
     def save_best(self, state: Any, metric: float, lower_is_better=True):
         """best-by-val-FID checkpoint (xqgan_train.py save_best)."""
@@ -54,22 +58,16 @@ class CheckpointManager:
             metric < self.best_metric if lower_is_better else metric > self.best_metric
         ):
             self.best_metric = metric
-            if not self._primary:
-                return
             path = self.directory / "best"
-            if path.exists():
-                import shutil
-
-                shutil.rmtree(path)
-            self._best.save(path, state)
+            # force=True: orbax removes any previous best (primary-gated +
+            # internally synced across processes)
+            self._best.save(path, state, force=True)
             self._best.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
-        if self._primary:
-            return self._mgr.latest_step()
-        root = self.directory / "ckpts"
-        steps = [int(p.name) for p in root.glob("[0-9]*") if p.name.isdigit()]
-        return max(steps) if steps else None
+        if not self._primary:
+            self._mgr.reload()  # pick up steps written by the primary
+        return self._mgr.latest_step()
 
     def restore(self, state_template: Any, step: Optional[int] = None):
         """Auto-resume (reference utils/misc.py:344-357 glob-by-mtime)."""
@@ -77,14 +75,8 @@ class CheckpointManager:
         step = step if step is not None else self.latest_step()
         if step is None:
             return None, 0
-        if self._primary:
-            restored = self._mgr.restore(
-                step, args=ocp.args.StandardRestore(state_template))
-        else:
-            with ocp.StandardCheckpointer() as reader:
-                restored = reader.restore(
-                    self.directory / "ckpts" / str(step) / "default",
-                    state_template)
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_template))
         return restored, step
 
     def save_data_state(self, step: int, state: Optional[bytes]):
@@ -115,6 +107,5 @@ class CheckpointManager:
         return blob[8:]
 
     def wait(self):
-        if self._primary:
-            self._mgr.wait_until_finished()
+        self._mgr.wait_until_finished()
         self._barrier("wait")

@@ -62,7 +62,10 @@ def main():
     from imagefolder_tpu.utils.config import load_tokenizer_config
     from PIL import Image
 
-    margs, _, run = load_tokenizer_config(args.config)
+    # code extraction is argmax-sensitive: force fp32 activations like the
+    # reference's autocast-free pretokenization.py (and our eval/verify CLIs)
+    margs, _, run = load_tokenizer_config(args.config,
+                                          {"dtype_str": "float32"})
     data_path = args.data_path or run.data_path
     model = VQModel(margs)
 

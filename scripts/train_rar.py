@@ -53,6 +53,11 @@ class _JsonlBatchIter:
 
     def __init__(self, rows, batch_size, seed=0, shard_index=0,
                  shard_count=1):
+        if len(rows) // max(shard_count, 1) < batch_size:
+            raise ValueError(
+                f"per-shard rows ({len(rows)}//{shard_count}) < batch_size "
+                f"({batch_size}): the epoch permutation can never fill one "
+                "batch — shrink --batch_size or the process count")
         self.rows = rows
         self.batch_size = batch_size
         self.seed = seed

@@ -84,13 +84,12 @@ def check_converter_coverage(sd, margs):
 def check_quantizer_bitexact(sd, margs, params, strict=False):
     import torch
 
-    sys.path.insert(0, "/root/reference")
     import jax
     import jax.numpy as jnp
 
     from tests.ref_utils import ref_path
 
-    ref_path()
+    ref_path()  # puts the reference checkout on sys.path wherever it lives
     from tokenizer.tokenizer_image.quant import VectorQuantizer2
 
     if margs.lfq or len(margs.v_patch_nums) == 1:

@@ -72,6 +72,25 @@ def main():
     np.testing.assert_allclose(np.asarray(gathered)[:, 0],
                                np.arange(nproc, dtype=float))
 
+    # split checkpoint save/restore (ADVICE r2: primary writes via the
+    # manager, non-primary restores through the same public orbax API)
+    ckpt_dir = sys.argv[4] if len(sys.argv) > 4 else None
+    if ckpt_dir:
+        from imagefolder_tpu.utils.ckpt import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir)
+        state = {"w": np.arange(6, dtype=np.float32).reshape(2, 3),
+                 "step": np.asarray(7, np.int32)}
+        mgr.save(7, state)
+        mgr.wait()
+        template = {"w": np.zeros((2, 3), np.float32),
+                    "step": np.asarray(0, np.int32)}
+        assert mgr.latest_step() == 7
+        restored, step = mgr.restore(template)
+        assert step == 7, step
+        np.testing.assert_array_equal(restored["w"], state["w"])
+        assert int(restored["step"]) == 7
+
     sync_global_devices("done")
     print(f"OK rank={rank}")
 

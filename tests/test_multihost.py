@@ -26,7 +26,7 @@ def _free_port():
 
 
 @pytest.mark.timeout(300)
-def test_two_process_cpu_smoke():
+def test_two_process_cpu_smoke(tmp_path):
     worker = Path(__file__).parent / "_multihost_worker.py"
     coordinator = f"localhost:{_free_port()}"
     env = {k: v for k, v in os.environ.items()
@@ -34,7 +34,8 @@ def test_two_process_cpu_smoke():
                         "JAX_PROCESS_ID", "JAX_COORDINATOR_ADDRESS")}
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), coordinator, "2", str(rank)],
+            [sys.executable, str(worker), coordinator, "2", str(rank),
+             str(tmp_path / "ckpt")],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env)
         for rank in range(2)
