@@ -443,11 +443,15 @@ class VQModel(nn.Module):
             for i, qz in enumerate(self.quantizers)
         ]
 
-    def idxBl_to_var_input(self, gt_idx_Bl_P: List[List[jnp.ndarray]]):
+    def idxBl_to_var_input(self, gt_idx_Bl_P: List[List[jnp.ndarray]],
+                           prog_si: int = -1):
         """(xqgan_model.py:434-439): concat per-branch teacher-forcing inputs
-        on the channel dim."""
+        on the channel dim. prog_si >= 0 truncates for progressive VAR
+        training (quant.py:236-237); prog_si == 0 returns None (sos-only)."""
+        if prog_si == 0:
+            return None
         parts = [
-            qz.idxBl_to_var_input(gt_idx_Bl_P[i])
+            qz.idxBl_to_var_input(gt_idx_Bl_P[i], prog_si)
             for i, qz in enumerate(self.quantizers)
         ]
         return jnp.concatenate(parts, axis=-1)

@@ -276,9 +276,15 @@ class VAR(nn.Module):
 
     # ------------------------------ training ------------------------------ #
     def __call__(self, label_B, x_BLCv_wo_first_l, p_drop_factor: float = 0.0,
-                 train: bool = False):
-        """Teacher-forcing forward (var.py:235-292) -> logits (B, L, vocab)."""
+                 train: bool = False, prog_si: int = -1):
+        """Teacher-forcing forward (var.py:235-292) -> logits (B, L, vocab).
+
+        prog_si >= 0: progressive training (var.py:241-248) — the sequence is
+        truncated to ed = begin_ends[prog_si][1] positions (the caller feeds a
+        correspondingly truncated teacher-forcing input; sos-only at stage 0).
+        """
         cfg = self.config
+        ed = cfg.begin_ends[prog_si][1] if prog_si >= 0 else cfg.L
         b = label_B.shape[0]
         if train and cfg.cond_drop_rate > 0:
             drop = jax.random.uniform(self.make_rng("sample"), (b,)) < cfg.cond_drop_rate
@@ -287,8 +293,17 @@ class VAR(nn.Module):
         sos = jnp.broadcast_to(cond_BD[:, None], (b, cfg.first_l, cfg.embed_dim))
         sos = sos + self.pos_start
 
-        x = jnp.concatenate(
-            [sos, self.word_embed(x_BLCv_wo_first_l.astype(jnp.float32))], axis=1)
+        if prog_si == 0:
+            x = sos
+        else:
+            x = jnp.concatenate(
+                [sos, self.word_embed(x_BLCv_wo_first_l.astype(jnp.float32))],
+                axis=1)
+        if x.shape[1] != ed:
+            raise ValueError(
+                f"teacher-forcing input covers {x.shape[1]} positions but "
+                f"prog stage {prog_si} expects {ed} — truncate the input with "
+                "idxBl_to_var_input(..., prog_si)")
 
         if cfg.p_drop > 0 and train:
             # MLM-style token dropout with learned empty embedding
@@ -300,15 +315,17 @@ class VAR(nn.Module):
                 [jnp.ones((b, cfg.first_l), bool), u >= p], axis=1)
             x = jnp.where(keep[..., None], x, self.empty_emb[None])
 
-        x = x + jnp.take(self.lvl_embed, self.lvl_1L, axis=0)[None] + self.pos_1LC
+        x = (x + jnp.take(self.lvl_embed, self.lvl_1L[:ed], axis=0)[None]
+             + self.pos_1LC[:, :ed])
         cond_or_gss = self._cond(cond_BD)
         x = x.astype(cfg.dtype)
+        attn_bias = self.attn_bias[:, :, :ed, :ed]
         for blk in self.blocks:
             if cfg.remat:
                 x, _ = nn.remat(type(blk).__call__, static_argnums=(5,))(
-                    blk, x, cond_or_gss, self.attn_bias, None, train)
+                    blk, x, cond_or_gss, attn_bias, None, train)
             else:
-                x, _ = blk(x, cond_or_gss, attn_bias=self.attn_bias, train=train)
+                x, _ = blk(x, cond_or_gss, attn_bias=attn_bias, train=train)
         return self.head(self.head_nm(x, cond_BD)).astype(jnp.float32)
 
     # ------------------------------ decoding ------------------------------ #

@@ -341,16 +341,19 @@ class MultiScaleVQ(nn.Module):
             outs.append(f_hat)
         return outs[-1] if last_one else outs
 
-    def idxBl_to_var_input(self, gt_ms_idx_Bl):
+    def idxBl_to_var_input(self, gt_ms_idx_Bl, prog_si: int = -1):
         """Teacher-forcing input for VAR (quant.py:226-244): for each scale
-        si<SN-1, accumulate f_hat then area-pool to the NEXT scale; concat."""
+        si<SN-1, accumulate f_hat then area-pool to the NEXT scale; concat.
+        prog_si >= 0 truncates to scales < prog_si (progressive training,
+        quant.py:236-237 break condition)."""
         b = gt_ms_idx_Bl[0].shape[0]
         hh = self.v_patch_nums[-1]
         sn = len(self.v_patch_nums)
         f_hat = jnp.zeros((b, hh, hh, self.Cvae), jnp.float32)
         pieces = []
         pn_next = self.v_patch_nums[0]
-        for si in range(sn - 1):
+        stop = sn - 1 if prog_si < 0 else min(prog_si, sn - 1)
+        for si in range(stop):
             idx = gt_ms_idx_Bl[si]
             h = jnp.take(self.codebook, idx, axis=0).reshape(b, pn_next, pn_next, self.Cvae)
             h = resize(h, (hh, hh), "bicubic")
@@ -574,14 +577,15 @@ class MultiScaleLFQ(nn.Module):
             out.append(f_hat if to_fhat else idx_n.reshape(b, pn * pn))
         return out
 
-    def idxBl_to_var_input(self, gt_ms_idx_Bl):
+    def idxBl_to_var_input(self, gt_ms_idx_Bl, prog_si: int = -1):
         b = gt_ms_idx_Bl[0].shape[0]
         hh = self.v_patch_nums[-1]
         sn = len(self.v_patch_nums)
         f_hat = jnp.zeros((b, hh, hh, self.Cvae), jnp.float32)
         pieces = []
         pn_next = self.v_patch_nums[0]
-        for si in range(sn - 1):
+        stop = sn - 1 if prog_si < 0 else min(prog_si, sn - 1)
+        for si in range(stop):
             h = self.indices_to_bits(gt_ms_idx_Bl[si], si).reshape(
                 b, pn_next, pn_next, self.Cvae
             )

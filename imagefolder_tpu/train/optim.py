@@ -24,6 +24,7 @@ import optax
 __all__ = [
     "cosine_with_warmup",
     "lr_wd_annealing",
+    "wd_cosine_anneal",
     "adamw_with_freezing",
     "tokenizer_frozen_predicate",
     "disc_frozen_predicate",
@@ -93,6 +94,38 @@ def lr_wd_annealing(sched_type: str, peak_lr: float, wp_steps: float,
     return sched
 
 
+def wd_cosine_anneal(wd: float, wd_end: float, max_steps: int):
+    """Reference cosine weight-decay anneal (utils/lr_control.py:47-48):
+    ``wd_end + (wd - wd_end) * (0.5 + 0.5*cos(pi * it/(max_it-1)))`` — note
+    the anneal spans the FULL run including warmup, unlike the lr leg.
+    Reference default is constant (arg_util.py:303: twde==0 -> twde=twd)."""
+
+    def sched(step):
+        pasd = jnp.asarray(step, jnp.float32) / max(max_steps - 1, 1)
+        return wd_end + (wd - wd_end) * (0.5 + 0.5 * jnp.cos(jnp.pi * pasd))
+
+    return sched
+
+
+def _scheduled_weight_decay(wd_fn, wd_sc: float = 1.0):
+    """Decoupled weight decay whose coefficient follows a schedule (optax
+    add_decayed_weights takes only a constant)."""
+
+    def init_fn(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update_fn(updates, state, params):
+        if params is None:
+            raise ValueError("scheduled weight decay requires params")
+        wd = wd_fn(state.count) * wd_sc
+        updates = jax.tree.map(lambda u, p: u + wd * p, updates, params)
+        return updates, optax.ScaleByScheduleState(
+            count=optax.safe_int32_increment(state.count))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
@@ -150,34 +183,76 @@ def adamw_with_freezing(
     grad_clip: float = 0.0,
     eps: float = 1e-8,
     grad_accum_steps: int = 1,
+    weight_decay_end: Optional[float] = None,
+    total_steps: Optional[int] = None,
+    groups=None,
 ):
     """AdamW where decay skips no-decay groups and frozen params get zero
-    updates. Labels are derived from param paths."""
+    updates. Labels are derived from param paths.
+
+    weight_decay_end (+ total_steps): cosine-anneal wd -> wd_end over the run
+    (reference utils/lr_control.py:47-48; constant when None/equal, matching
+    arg_util.py:303's twde-defaults-to-twd).
+    groups: optional ``{name: (predicate(path)->bool, lr_sc, wd_sc)}`` —
+    reference per-group scaling (lr_control.py:55-60); predicates are checked
+    in insertion order before the default decay/no-decay split.
+    grad_clip clips ONE global norm over all trainable params (reference
+    utils/amp_sc.py:50-55); frozen leaves are zeroed first so teacher grads
+    don't pollute the norm.
+    """
+    groups = dict(groups or {})
+    anneal_wd = (weight_decay_end is not None
+                 and weight_decay_end != weight_decay)
+    if anneal_wd and not total_steps:
+        raise ValueError("weight_decay_end requires total_steps")
+    wd_fn = (wd_cosine_anneal(weight_decay, weight_decay_end, total_steps)
+             if anneal_wd else None)
+
+    def frozen_path(p: str) -> bool:
+        return frozen_fn is not None and frozen_fn(p)
 
     def label_tree(params):
         def label(path, _):
             p = _path_str(path)
-            if frozen_fn is not None and frozen_fn(p):
+            if frozen_path(p):
                 return "frozen"
+            for name, (pred, _lr_sc, _wd_sc) in groups.items():
+                if pred(p):
+                    return name
             return "nodecay" if no_decay_predicate(p) else "default"
 
         return jax.tree_util.tree_map_with_path(label, params)
 
-    def make(decay):
-        chain = []
-        if grad_clip > 0:
-            chain.append(optax.clip_by_global_norm(grad_clip))
-        chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
-        if decay:
-            chain.append(optax.add_decayed_weights(decay))
-        chain.append(optax.scale_by_learning_rate(lr_schedule))
+    def make(lr_sc, wd_sc):
+        chain = [optax.scale_by_adam(b1=b1, b2=b2, eps=eps)]
+        if wd_sc:
+            if wd_fn is not None:
+                chain.append(_scheduled_weight_decay(wd_fn, wd_sc))
+            elif weight_decay:
+                chain.append(optax.add_decayed_weights(weight_decay * wd_sc))
+        if lr_sc == 1.0:
+            sched = lr_schedule
+        elif callable(lr_schedule):
+            sched = lambda s: lr_schedule(s) * lr_sc  # noqa: E731
+        else:
+            sched = lr_schedule * lr_sc
+        chain.append(optax.scale_by_learning_rate(sched))
         return optax.chain(*chain)
 
-    tx = optax.multi_transform(
-        {"default": make(weight_decay), "nodecay": make(0.0),
-         "frozen": optax.set_to_zero()},
-        label_tree,
-    )
+    transforms = {"default": make(1.0, 1.0), "nodecay": make(1.0, 0.0),
+                  "frozen": optax.set_to_zero()}
+    for name, (_pred, lr_sc, wd_sc) in groups.items():
+        transforms[name] = make(lr_sc, wd_sc)
+
+    tx = optax.multi_transform(transforms, label_tree)
+    if grad_clip > 0:
+        def frozen_mask(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: frozen_path(_path_str(path)), params)
+
+        pre = ([optax.masked(optax.set_to_zero(), frozen_mask)]
+               if frozen_fn is not None else [])
+        tx = optax.chain(*pre, optax.clip_by_global_norm(grad_clip), tx)
     if grad_accum_steps > 1:
         # reference AmpOptimizer grad accumulation (utils/amp_sc.py:39-66)
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)

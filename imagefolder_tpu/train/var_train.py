@@ -28,7 +28,7 @@ from imagefolder_tpu.train.optim import (
 )
 
 __all__ = ["build_vae_var", "VARTrainConfig", "VARTrainState", "VARTrainer",
-           "var_sample"]
+           "ProgressiveController", "var_sample"]
 
 
 def build_vae_var(model_args: ModelArgs, depth: int = 16, *,
@@ -60,6 +60,9 @@ class VARTrainConfig:
 
     lr: float = 1e-4
     weight_decay: float = 0.05
+    # reference twde (arg_util.py:46,303): 0/None -> constant wd; set to
+    # anneal wd -> wd_end cosine over the run (utils/lr_control.py:47-48)
+    weight_decay_end: float = 0.0
     beta1: float = 0.9
     beta2: float = 0.95
     grad_clip: float = 2.0
@@ -82,6 +85,64 @@ class VARTrainState:
     step: jnp.ndarray
 
 
+class ProgressiveController:
+    """Progressive-training schedule + per-stage warmup state (reference
+    train.py:317-325 stage schedule, trainer.py:105-118 warmup bookkeeping;
+    arg_util.py:311-312 additionally couples ``pg>0 -> sche=lin{pg}`` — the
+    CLI applies that to the lr schedule).
+
+    Host-side: ``prog_si`` changes the compiled sequence length, so it is a
+    static python int (at most one recompile per stage, <= S stages/run).
+    """
+
+    def __init__(self, num_stages: int, pg: float = 0.0, pg0: int = 4,
+                 prog_wp_it: float = 20.0):
+        self.num_stages = num_stages
+        self.pg = pg
+        self.pg0 = pg0
+        self.prog_wp_it = max(prog_wp_it, 1.0)
+        self.prog_it = 0
+        self.last_prog_si = -1
+        self.first_prog = True
+
+    def stage(self, g_it: int, wp_it: float, max_it: int) -> int:
+        """Scheduled raw stage for global iter g_it (train.py:317-325)."""
+        if self.pg <= 0:
+            return -1
+        if g_it <= wp_it:
+            return self.pg0
+        if g_it >= max_it * self.pg:
+            return self.num_stages - 1
+        delta = self.num_stages - 1 - self.pg0
+        progress = min(max((g_it - wp_it) / (max_it * self.pg - wp_it), 0), 1)
+        return self.pg0 + round(progress * delta)
+
+    def step(self, prog_si: int):
+        """Per-iteration bookkeeping (trainer.py:109-118) ->
+        (effective prog_si, prog_wp)."""
+        if self.last_prog_si != prog_si:
+            if self.last_prog_si != -1:
+                self.first_prog = False
+            self.last_prog_si = prog_si
+            self.prog_it = 0
+        self.prog_it += 1
+        prog_wp = max(min(self.prog_it / self.prog_wp_it, 1.0), 0.01)
+        if self.first_prog:
+            prog_wp = 1.0  # solved by the main warmup already
+        if prog_si == self.num_stages - 1:
+            prog_si = -1  # max stage == full training
+        return prog_si, prog_wp
+
+    def state_dict(self):
+        return {"prog_it": self.prog_it, "last_prog_si": self.last_prog_si,
+                "first_prog": self.first_prog}
+
+    def load_state_dict(self, d):
+        self.prog_it = d["prog_it"]
+        self.last_prog_si = d["last_prog_si"]
+        self.first_prog = d["first_prog"]
+
+
 class VARTrainer:
     def __init__(self, vae: VQModel, var: VAR, tcfg: VARTrainConfig):
         self.vae = vae
@@ -91,7 +152,9 @@ class VARTrainer:
                                 tcfg.total_steps, tcfg.final_lr_ratio)
         self.tx = adamw_with_freezing(
             sched, weight_decay=tcfg.weight_decay, b1=tcfg.beta1, b2=tcfg.beta2,
-            grad_clip=tcfg.grad_clip)
+            grad_clip=tcfg.grad_clip,
+            weight_decay_end=(tcfg.weight_decay_end or None),
+            total_steps=tcfg.total_steps)
         pns = var.config.patch_nums
         self.L = sum(p * p for p in pns)
         self.last_l = pns[-1] ** 2
@@ -112,8 +175,14 @@ class VARTrainer:
                                          if self.tcfg.ema else None),
                              step=jnp.zeros((), jnp.int32))
 
-    def _ce_and_acc(self, logits_BLV, gt_BL_list, label_smooth=0.0):
-        """Per-PQ-branch CE (trainer.py:131-144) + mean/tail token accuracy."""
+    def _ce_and_acc(self, logits_BLV, gt_BL_list, label_smooth=0.0,
+                    prog_si: int = -1, prog_wp=1.0):
+        """Per-PQ-branch CE (trainer.py:131-144) + mean/tail token accuracy.
+
+        prog_si >= 0: loss weight covers only the first ed positions (still
+        normalized by the FULL L), with the newest stage's span bg:ed scaled
+        by the prog_wp warmup factor (trainer.py:137-143). Tail metrics are
+        -1 under progressive training (trainer.py:157-158)."""
         p = self.var.config.product_quant
         v = logits_BLV.shape[-1] // p
         loss = 0.0
@@ -124,33 +193,53 @@ class VARTrainer:
             nll = -jnp.take_along_axis(logp, gt[..., None], axis=-1)[..., 0]
             if label_smooth > 0:
                 nll = (1 - label_smooth) * nll - label_smooth * jnp.mean(logp, axis=-1)
-            loss = loss + nll  # (B, L)
+            loss = loss + nll  # (B, L or ed)
             pred = jnp.argmax(lg, axis=-1)
             correct = (pred == gt).astype(jnp.float32)
             accs.append(jnp.mean(correct) * 100.0)
-            tails.append(jnp.mean(correct[:, -self.last_l:]) * 100.0)
+            tails.append(jnp.mean(correct[:, -self.last_l:]) * 100.0
+                         if prog_si < 0 else jnp.float32(-1.0))
         loss = loss / p
-        lw = 1.0 / self.L
-        loss = jnp.mean(jnp.sum(loss * lw, axis=-1))
+        if prog_si >= 0:
+            bg, ed = self.var.config.begin_ends[prog_si]
+            lw = jnp.full((ed,), 1.0 / self.L)
+            lw = lw * jnp.where(jnp.arange(ed) >= bg,
+                                jnp.clip(jnp.asarray(prog_wp, jnp.float32),
+                                         0.0, 1.0), 1.0)
+            loss = jnp.mean(jnp.sum(loss * lw[None], axis=-1))
+        else:
+            loss = jnp.mean(jnp.sum(loss * (1.0 / self.L), axis=-1))
         return loss, sum(accs) / p, sum(tails) / p
 
     # state donated: old+new params/opt/EMA never coexist in HBM
-    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-    def train_step(self, state: VARTrainState, imgs, labels, rng):
+    @partial(jax.jit, static_argnums=(0,), static_argnames=("prog_si",),
+             donate_argnums=(1,))
+    def train_step(self, state: VARTrainState, imgs, labels, rng, *,
+                   prog_si: int = -1, prog_wp=1.0):
+        """prog_si/prog_wp: progressive training (trainer.py:103-147) — the
+        sequence is truncated to stages <= prog_si and the newest stage's
+        loss ramps in by prog_wp. prog_si is static (one compile per stage)."""
         idx_P = self.vae.apply({"params": state.vae_params}, imgs,
                                method=VQModel.img_to_idxBl)
+        if prog_si >= 0:
+            idx_P = [branch[:prog_si + 1] for branch in idx_P]
         gt_BL = [jnp.concatenate(branch, axis=1) for branch in idx_P]
         x_in = self.vae.apply({"params": state.vae_params}, idx_P,
-                              method=VQModel.idxBl_to_var_input)
-        x_in = jax.lax.stop_gradient(x_in)
+                              method=VQModel.idxBl_to_var_input,
+                              prog_si=prog_si)
+        if x_in is not None:
+            x_in = jax.lax.stop_gradient(x_in)
         k_s, k_dp = jax.random.split(rng)
 
         def loss_fn(params):
             logits = self.var.apply(
                 {"params": params}, labels, x_in,
                 p_drop_factor=self.tcfg.p_drop_factor, train=True,
+                prog_si=prog_si,
                 rngs={"sample": k_s, "droppath": k_dp})
-            loss, acc, tail = self._ce_and_acc(logits, gt_BL, self.tcfg.label_smooth)
+            loss, acc, tail = self._ce_and_acc(logits, gt_BL,
+                                               self.tcfg.label_smooth,
+                                               prog_si, prog_wp)
             return loss, (acc, tail)
 
         (loss, (acc, tail_acc)), grads = jax.value_and_grad(

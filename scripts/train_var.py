@@ -31,6 +31,14 @@ def main():
     ap.add_argument("--epochs", type=int, default=200)
     ap.add_argument("--tblr", type=float, default=1e-4,
                     help="base lr per 256 batch (reference arg_util tblr)")
+    ap.add_argument("--pg", type=float, default=0.0,
+                    help="progressive training over [0%%, pg] of the run "
+                         "(reference arg_util pg; also forces sche=lin{pg})")
+    ap.add_argument("--pg0", type=int, default=4,
+                    help="initial progressive stage (reference pg0)")
+    ap.add_argument("--pgwp", type=float, default=0.0,
+                    help="warmup epochs per progressive stage (reference "
+                         "pgwp; 0 -> epochs/300)")
     ap.add_argument("--output", default="output/var")
     ap.add_argument("--log_every", type=int, default=100)
     ap.add_argument("--ckpt_every", type=int, default=5000)
@@ -47,6 +55,7 @@ def main():
     )
     from imagefolder_tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from imagefolder_tpu.train.var_train import (
+        ProgressiveController,
         VARTrainConfig,
         VARTrainer,
         build_vae_var,
@@ -64,10 +73,16 @@ def main():
     n_train = len(list_image_folder(run.data_path)[0])
     steps_per_epoch = max(n_train // args.batch_size, 1)
     total = args.epochs * steps_per_epoch
+    # pg > 0 forces the lr schedule to lin{pg} (arg_util.py:311-312)
+    sched = f"lin{args.pg:g}" if args.pg > 0 else VARTrainConfig.sched
     tcfg = VARTrainConfig(
-        lr=args.tblr * args.batch_size / 256.0,
+        lr=args.tblr * args.batch_size / 256.0, sched=sched,
         warmup_steps=steps_per_epoch, total_steps=total)
     trainer = VARTrainer(vae, var, tcfg)
+    pgwp = args.pgwp or args.epochs / 300.0  # arg_util.py:309-310
+    prog = ProgressiveController(len(margs.v_patch_nums), pg=args.pg,
+                                 pg0=args.pg0,
+                                 prog_wp_it=pgwp * steps_per_epoch)
 
     key = jax.random.PRNGKey(run.seed)
     sample = jnp.zeros((2, margs.image_size, margs.image_size, 3))
@@ -102,8 +117,11 @@ def main():
             b = next(it)
         batch = shard_batch({"x": jnp.asarray(b["image"]),
                              "y": jnp.asarray(b["label"])}, mesh)
+        prog_si, prog_wp = prog.step(
+            prog.stage(step, tcfg.warmup_steps, total))
         state, metrics = trainer.train_step(state, batch["x"], batch["y"],
-                                            jax.random.fold_in(key, step))
+                                            jax.random.fold_in(key, step),
+                                            prog_si=prog_si, prog_wp=prog_wp)
         if (step + 1) % args.log_every == 0:
             mlog.update(**{k: float(v) for k, v in metrics.items()})
             mlog.log(step + 1, total)

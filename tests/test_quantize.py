@@ -130,6 +130,20 @@ def test_msvq_var_input_and_ar_input_match():
     var_in = mine.apply(variables, idx_j, method=MultiScaleVQ.idxBl_to_var_input)
     np.testing.assert_allclose(np.asarray(var_in), t2n(var_in_ref), rtol=1e-4, atol=1e-5)
 
+    # progressive truncation (quant.py:236-237 break): prog_si=1 keeps only
+    # scale 0's teacher-forcing piece; prog_si=0 -> None (sos-only stage)
+    q.prog_si = 1
+    with torch.no_grad():
+        var_in_p1_ref = q.idxBl_to_var_input([i.clone() for i in idx_ref])
+    q.prog_si = -1
+    var_in_p1 = mine.apply(variables, idx_j, 1,
+                           method=MultiScaleVQ.idxBl_to_var_input)
+    np.testing.assert_allclose(np.asarray(var_in_p1), t2n(var_in_p1_ref),
+                               rtol=1e-4, atol=1e-5)
+    assert var_in_p1.shape[1] == PNS[1] ** 2
+    assert mine.apply(variables, idx_j, 0,
+                      method=MultiScaleVQ.idxBl_to_var_input) is None
+
     # one AR decode stage
     h = torch.randn(2, 8, 1, 1, generator=torch.Generator().manual_seed(5))
     f_hat0 = torch.zeros(2, 8, 3, 3)

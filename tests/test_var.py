@@ -195,3 +195,127 @@ def test_512px_patch_nums_shapes():
     logits = jax.eval_shape(
         lambda v, l, x: var.apply(v, l, x, train=False), pv, lb, x_in)
     assert logits.shape == (2, L, 64)
+
+
+def test_progressive_loss_matches_reference():
+    """Prog-mode loss vs the reference trainer math (trainer.py:119-147):
+    truncated forward (var.py:241-248) + begin/end loss weighting
+    (trainer.py:138-143), at stages 0, 1 and several warmup factors."""
+    ref = _ref_var()
+    ref.eval()
+    cfg = VARConfig(vocab_size=32, Cvae=8, num_classes=10, depth=2,
+                    embed_dim=64, num_heads=2, patch_nums=PNS,
+                    cond_drop_rate=0.0, p_drop=0.0)
+    mine = VAR(cfg)
+    params = convert_var(ref.state_dict(), depth=2, attn_l2_norm=False,
+                         mlm=False)
+    from imagefolder_tpu.train.var_train import VARTrainer, VARTrainConfig
+
+    class _VaeStub:  # _ce_and_acc touches only var.config / L / last_l
+        config = cfg
+
+    tr = VARTrainer.__new__(VARTrainer)
+    tr.var, tr.tcfg = mine, VARTrainConfig()
+    tr.L = cfg.L
+    tr.last_l = PNS[-1] ** 2
+
+    g = torch.Generator().manual_seed(7)
+    B, L, V = 2, cfg.L, 32
+    label = torch.tensor([1, 7])
+    x_full = torch.randn(B, L - 1, 8, generator=g)
+    gt_full = torch.randint(0, V, (B, L), generator=g)
+    loss_weight = torch.ones(1, L) / L
+    ce = torch.nn.CrossEntropyLoss(reduction="none")
+    begin_ends = cfg.begin_ends
+
+    for prog_si, prog_wp in [(0, 1.0), (1, 0.35), (1, 1.0)]:
+        bg, ed = begin_ends[prog_si]
+        ref.prog_si = prog_si
+        x_trunc = x_full[:, :ed - 1]
+        gt = gt_full[:, :ed]
+        with torch.no_grad():
+            logits = ref(label, x_trunc)
+        assert logits.shape[1] == ed
+        loss_t = ce(logits.reshape(-1, V), gt.reshape(-1)).view(B, -1)
+        lw = loss_weight[:, :ed].clone()
+        lw[:, bg:ed] *= prog_wp
+        want = loss_t.mul(lw).sum(dim=-1).mean().item()
+
+        x_j = (None if prog_si == 0
+               else jnp.asarray(x_trunc.numpy()))
+        logits_j = mine.apply({"params": params}, jnp.asarray(label.numpy()),
+                              x_j, prog_si=prog_si)
+        got, acc, tail = tr._ce_and_acc(
+            logits_j, [jnp.asarray(gt.numpy())], 0.0, prog_si, prog_wp)
+        np.testing.assert_allclose(float(got), want, rtol=2e-4,
+                                   err_msg=f"prog_si={prog_si} wp={prog_wp}")
+        assert float(tail) == -1.0
+    ref.prog_si = -1
+
+
+def test_progressive_train_step_runs():
+    """Full jitted train_step at a progressive stage: truncated shapes,
+    finite loss, params move."""
+    margs, vae, var = _tiny_models()
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (2, 6, 6, 3), minval=-1, maxval=1)
+    vae_params = vae.init(key, imgs, train=False)["params"]
+    tr = VARTrainer(vae, var, VARTrainConfig(total_steps=10, warmup_steps=2))
+    state = tr.init(key, vae_params, imgs)
+    labels = jnp.asarray([1, 2])
+    s1, m1 = tr.train_step(state, imgs, labels, jax.random.PRNGKey(1),
+                           prog_si=1, prog_wp=0.5)
+    assert np.isfinite(float(m1["loss"]))
+    assert float(m1["acc_tail"]) == -1.0
+    # stage 0: sos-only input
+    s2, m2 = tr.train_step(s1, imgs, labels, jax.random.PRNGKey(2),
+                           prog_si=0, prog_wp=1.0)
+    assert np.isfinite(float(m2["loss"]))
+
+
+def test_progressive_controller_matches_reference_schedule():
+    """ProgressiveController vs the reference inline logic: stage schedule
+    (train.py:317-325) and per-stage warmup bookkeeping (trainer.py:105-118),
+    with the documented pg=0.8 pg0=1 recipe."""
+    from imagefolder_tpu.train.var_train import ProgressiveController
+
+    num_stages, pg, pg0 = len(PNS), 0.8, 1
+    wp_it, max_it, prog_wp_it = 10, 100, 4.0
+    ctl = ProgressiveController(num_stages, pg=pg, pg0=pg0,
+                                prog_wp_it=prog_wp_it)
+
+    # reference transcription
+    prog_it, last_prog_si, first_prog = 0, -1, True
+    for g_it in range(max_it):
+        # train.py:317-325
+        if pg:
+            if g_it <= wp_it:
+                want_si = pg0
+            elif g_it >= max_it * pg:
+                want_si = num_stages - 1
+            else:
+                delta = num_stages - 1 - pg0
+                progress = min(max((g_it - wp_it) / (max_it * pg - wp_it), 0), 1)
+                want_si = pg0 + round(progress * delta)
+        else:
+            want_si = -1
+        got_si = ctl.stage(g_it, wp_it, max_it)
+        assert got_si == want_si, g_it
+        # trainer.py:109-118
+        if last_prog_si != want_si:
+            if last_prog_si != -1:
+                first_prog = False
+            last_prog_si = want_si
+            prog_it = 0
+        prog_it += 1
+        want_wp = max(min(prog_it / prog_wp_it, 1), 0.01)
+        if first_prog:
+            want_wp = 1
+        want_eff = -1 if want_si == num_stages - 1 else want_si
+        got_eff, got_wp = ctl.step(got_si)
+        assert got_eff == want_eff and abs(got_wp - want_wp) < 1e-12, g_it
+
+    # pg=0 -> always full training
+    off = ProgressiveController(num_stages, pg=0.0)
+    assert off.stage(5, wp_it, max_it) == -1
+    assert off.step(-1) == (-1, 1.0)
