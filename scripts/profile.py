@@ -1,0 +1,307 @@
+"""Perf profiling tool for the bench workload (consolidates the former
+perf_probe{,2,3}.py one-offs; VERDICT r2 weak #8).
+
+Subcommands (``python scripts/profile.py <probe>``):
+  pipeline   end-to-end + component split of the VQ-4096 ViT-B bench recon
+             (full recon, 12-block stack, GEMM-only floor, attention kernels)
+  block      transformer-block ablations (attention impl, gelu, LayerNorm)
+  mlp        MLP sub-layer ablations (gelu variants, fused pallas MLP)
+
+All timings use the chained-iteration methodology from bench.py: N steps
+inside one jit via ``lax.fori_loop`` with the output threaded through the
+loop (the axon tunnel's block_until_ready is a fake — python-loop timing
+measures dispatch, not compute).
+"""
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 64
+L = 513
+D = 768
+H = 12
+HID = 3072
+ITERS = 10
+
+
+def timed_loop(name, step, *args, iters=ITERS):
+    """step: (*consts, x) -> x-shaped output; returns per-iter seconds.
+    Times the (1+iters)-vs-1 chained difference with a scalar readback."""
+
+    def chained(n):
+        @jax.jit
+        def fn(*a):
+            out = jax.lax.fori_loop(
+                0, n, lambda i, xx: step(*a[:-1], xx).astype(a[-1].dtype),
+                a[-1])
+            return jnp.sum(out.astype(jnp.float32).ravel()[:1])
+
+        return fn
+
+    short, long_ = chained(1), chained(1 + iters)
+    float(short(*args))
+    float(long_(*args))
+
+    def t(fn):
+        t0 = time.time()
+        float(fn(*args))
+        return time.time() - t0
+
+    t1 = min(t(short) for _ in range(3))
+    t2 = min(t(long_) for _ in range(3))
+    dt = max(t2 - t1, 1e-9) / iters
+    print(f"{name:48s} {dt * 1e3:8.2f} ms/iter   {BATCH / dt:8.1f} img/s",
+          flush=True)
+    return dt
+
+
+# --------------------------- pipeline probe --------------------------- #
+
+def probe_pipeline():
+    from imagefolder_tpu.models.tokenizer import ModelArgs, VQModel
+    from imagefolder_tpu.models.vit import ViTBackbone
+
+    key = jax.random.PRNGKey(0)
+
+    margs = ModelArgs(
+        codebook_size=4096, codebook_embed_dim=64, v_patch_nums=(16,),
+        enc_type="dinov2", dec_type="dinov2",
+        encoder_model="vit_base_patch14_dinov2.lvd142m",
+        decoder_model="vit_base_patch14_dinov2.lvd142m",
+        semantic_guide="none", detail_guide="none",
+        num_latent_tokens=256, abs_pos_embed=True, image_size=256,
+        dtype_str="bfloat16")
+    model = VQModel(margs)
+    x = jax.random.uniform(key, (BATCH, 256, 256, 3), minval=-1, maxval=1)
+    variables = jax.jit(lambda k, xx: model.init(k, xx, train=False))(key, x)
+
+    def recon(v, xx):
+        return model.apply(v, xx, method=VQModel.img_to_reconstructed_img)
+
+    timed_loop("full recon (bench)", recon, variables, x)
+
+    bb = ViTBackbone(img_size=256, patch_size=16, embed_dim=768, depth=12,
+                     num_heads=12, dtype=jnp.bfloat16)
+    tok = jax.random.normal(key, (BATCH, L, D), jnp.bfloat16)
+    bbv = jax.jit(bb.init)(key, x)
+
+    def bb_blocks(v, t):
+        return bb.apply(v, t, method=ViTBackbone.run_blocks)
+
+    timed_loop("ViT-B 12-block stack (L=513, bf16)", bb_blocks, bbv, tok)
+
+    # GEMM-only speed-of-light floor: same shapes as one block, x12
+    w_qkv = jax.random.normal(key, (D, 3 * D), jnp.bfloat16)
+    w_proj = jax.random.normal(key, (D, D), jnp.bfloat16)
+    w_fc1 = jax.random.normal(key, (D, HID), jnp.bfloat16)
+    w_fc2 = jax.random.normal(key, (HID, D), jnp.bfloat16)
+
+    def gemms(wq, wp, w1, w2, t):
+        def body(i, tt):
+            a = tt @ wq
+            tt = a[..., :D] + tt
+            tt = (tt @ wp) + tt
+            h = tt @ w1
+            tt = (h @ w2) + tt
+            return tt
+
+        return jax.lax.fori_loop(0, 12, body, t)
+
+    timed_loop("GEMM-only 12 blocks (no attn/LN)", gemms, w_qkv, w_proj,
+               w_fc1, w_fc2, tok)
+
+    from imagefolder_tpu.ops.pallas.attention import fused_attention
+
+    q = jax.random.normal(key, (BATCH, L, H, D // H), jnp.bfloat16)
+
+    def attn_fused(qq):
+        return fused_attention(qq, qq, qq)
+
+    def attn_xla(qq):
+        return jax.nn.dot_product_attention(qq, qq, qq)
+
+    timed_loop("fused attention x1 (B=64,H=12,L=513)", attn_fused, q)
+    timed_loop("XLA attention x1", attn_xla, q)
+
+
+# ---------------------------- block probe ----------------------------- #
+
+def probe_block():
+    import flax.linen as nn
+
+    class BlockVar(nn.Module):
+        attn_mode: str = "pallas"  # pallas | xla | none
+        gelu_exact: bool = True
+        ln: bool = True
+
+        @nn.compact
+        def __call__(self, x):
+            dt = jnp.bfloat16
+
+            def _ln(name):
+                return nn.LayerNorm(epsilon=1e-6, dtype=dt,
+                                    param_dtype=jnp.float32, name=name)
+
+            c = D
+            h = _ln("norm1")(x) if self.ln else x
+            qkv = nn.Dense(3 * c, dtype=dt, param_dtype=jnp.float32,
+                           name="qkv")(h)
+            if self.attn_mode == "none":
+                out = qkv[..., :c]
+            else:
+                b, n, _ = qkv.shape
+                qkv4 = qkv.reshape(b, n, 3, H, c // H)
+                q, k, v = qkv4[:, :, 0], qkv4[:, :, 1], qkv4[:, :, 2]
+                if self.attn_mode == "pallas":
+                    from imagefolder_tpu.ops.pallas.attention import (
+                        fused_attention,
+                    )
+
+                    out = fused_attention(q, k, v)
+                else:
+                    out = jax.nn.dot_product_attention(q, k, v)
+                out = out.reshape(b, n, c)
+            out = nn.Dense(c, dtype=dt, param_dtype=jnp.float32,
+                           name="proj")(out)
+            out = out * self.param("ls1", nn.initializers.constant(1e-5), (c,))
+            x = x + out
+            h = _ln("norm2")(x) if self.ln else x
+            h = nn.Dense(4 * c, dtype=dt, param_dtype=jnp.float32,
+                         name="fc1")(h)
+            h = nn.gelu(h, approximate=not self.gelu_exact)
+            h = nn.Dense(c, dtype=dt, param_dtype=jnp.float32, name="fc2")(h)
+            h = h * self.param("ls2", nn.initializers.constant(1e-5), (c,))
+            return x + h
+
+    def stack12(mod, v, t):
+        def body(i, tt):
+            return mod.apply(v, tt).astype(jnp.bfloat16)
+
+        return jax.lax.fori_loop(0, 12, body, t)
+
+    key = jax.random.PRNGKey(0)
+    tok = jax.random.normal(key, (BATCH, L, D), jnp.bfloat16)
+    for name, kw in [
+        ("pallas attn, exact gelu, LN (current)", dict()),
+        ("xla attn", dict(attn_mode="xla")),
+        ("NO attn", dict(attn_mode="none")),
+        ("pallas, tanh gelu", dict(gelu_exact=False)),
+        ("pallas, no LN", dict(ln=False)),
+        ("NO attn, tanh gelu, no LN",
+         dict(attn_mode="none", gelu_exact=False, ln=False)),
+    ]:
+        mod = BlockVar(**kw)
+        v = jax.jit(mod.init)(key, tok)
+        timed_loop("12x block: " + name, functools.partial(stack12, mod), v,
+                   tok)
+
+
+# ----------------------------- mlp probe ------------------------------ #
+
+def probe_mlp():
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def mlp12(act, w1, b1, w2, b2, x):
+        def body(i, t):
+            h = t @ w1 + b1
+            h = act(h)
+            return (h @ w2 + b2).astype(t.dtype)
+
+        return jax.lax.fori_loop(0, 12, body, x)
+
+    def _erf_as(x):
+        """Abramowitz&Stegun 7.1.26 erf, |err|<=1.5e-7 (fp32, exp-based)."""
+        s = jnp.sign(x)
+        a = jnp.abs(x)
+        t = 1.0 / (1.0 + 0.3275911 * a)
+        poly = t * (0.254829592 + t * (-0.284496736 + t * (
+            1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+        return s * (1.0 - poly * jnp.exp(-a * a))
+
+    def _gelu_exact(h):  # h fp32
+        return h * 0.5 * (1.0 + _erf_as(h * 0.7071067811865476))
+
+    def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+        x = x_ref[...]
+        h = jax.lax.dot_general(x, w1_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        h = h + b1_ref[...]
+        h = _gelu_exact(h).astype(x.dtype)
+        o = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[...] = (o + b2_ref[...]).astype(o_ref.dtype)
+
+    @functools.partial(jax.jit, static_argnames=("blk",))
+    def fused_mlp(x, w1, b1, w2, b2, blk=1024):
+        bn, d = x.shape
+        nblk = -(-bn // blk)
+        return pl.pallas_call(
+            _mlp_kernel,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((blk, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, HID), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((HID,), lambda i: (0,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((HID, d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((blk, d), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bn, d), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2 ** 20),
+        )(x, w1, b1, w2, b2)
+
+    key = jax.random.PRNGKey(0)
+    x3 = jax.random.normal(key, (BATCH, L, D), jnp.bfloat16)
+    x2 = x3.reshape(BATCH * L, D)
+    w1 = jax.random.normal(key, (D, HID), jnp.bfloat16) * 0.02
+    b1 = jnp.zeros((HID,), jnp.float32)
+    w2 = jax.random.normal(key, (HID, D), jnp.bfloat16) * 0.02
+    b2 = jnp.zeros((D,), jnp.float32)
+
+    exact = lambda h: jax.nn.gelu(h, approximate=False)  # noqa: E731
+    tanh = lambda h: jax.nn.gelu(h, approximate=True)  # noqa: E731
+    exact32 = lambda h: jax.nn.gelu(  # noqa: E731
+        h.astype(jnp.float32), approximate=False)
+
+    timed_loop("12x MLP, exact gelu (XLA)", functools.partial(mlp12, exact),
+               w1, b1, w2, b2, x3)
+    timed_loop("12x MLP, tanh gelu (XLA)", functools.partial(mlp12, tanh),
+               w1, b1, w2, b2, x3)
+    timed_loop("12x MLP, exact gelu fp32 (XLA)",
+               functools.partial(mlp12, exact32), w1, b1, w2, b2, x3)
+
+    def pall12(w1, b1, w2, b2, x, blk):
+        def body(i, t):
+            return fused_mlp(t, w1, b1, w2, b2, blk=blk).astype(t.dtype)
+
+        return jax.lax.fori_loop(0, 12, body, x)
+
+    for blk in (512, 1024, 2048):
+        timed_loop(f"12x MLP, pallas fused exact (blk={blk})",
+                   functools.partial(pall12, blk=blk), w1, b1, w2, b2, x2)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("probe", choices=["pipeline", "block", "mlp"])
+    args = ap.parse_args()
+    {"pipeline": probe_pipeline, "block": probe_block,
+     "mlp": probe_mlp}[args.probe]()
+
+
+if __name__ == "__main__":
+    main()
