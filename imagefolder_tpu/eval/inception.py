@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["InceptionV3", "convert_inception_checkpoint"]
+__all__ = ["InceptionV3", "convert_inception_checkpoint",
+           "validate_inception_checkpoint", "inception_gate_status"]
 
 
 class BasicConv2d(nn.Module):
@@ -213,3 +214,162 @@ def convert_inception_checkpoint(sd: Mapping) -> dict:
             elif leaf == "running_var":
                 put(stats, (block, *sub, "bn", "var"), _np(v))
     return {"params": params, "batch_stats": stats}
+
+
+# ----------------------- real-weight validation gate ----------------------- #
+
+def _gate_path():
+    import os
+    from pathlib import Path
+
+    root = Path(os.environ.get(
+        "IMGF_CACHE", Path.home() / ".cache" / "imagefolder_tpu"))
+    return root / "inception_gate.json"
+
+
+def _file_sha256(path, chunk=1 << 20):
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+def _fixed_uint8_batch(n=8, size=299):
+    """Deterministic procedural uint8 batch (gradients + checkers + noise) —
+    the probe input whose activation statistics the gate records."""
+    rng = np.random.default_rng(20260817)
+    imgs = np.zeros((n, size, size, 3), np.uint8)
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    for i in range(n):
+        if i % 3 == 0:
+            img = ((xx * (i + 1) + yy) % 256)
+        elif i % 3 == 1:
+            img = (((xx // (8 + i)) + (yy // (8 + i))) % 2) * 255
+        else:
+            img = rng.integers(0, 256, (size, size))
+        imgs[i] = np.stack([img, np.roll(img, i, 0), np.roll(img, i, 1)],
+                           axis=-1).astype(np.uint8)
+    return imgs
+
+
+def inception_gate_status(ckpt_path=None):
+    """Returns the recorded gate marker dict, or None if the real-weight
+    validation has never run (or ran against a different checkpoint)."""
+    import json
+
+    p = _gate_path()
+    if not p.exists():
+        return None
+    try:
+        marker = json.loads(p.read_text())
+    except Exception:
+        return None
+    if ckpt_path is not None and marker.get("sha256") != _file_sha256(ckpt_path):
+        return None
+    return marker
+
+
+def validate_inception_checkpoint(ckpt_path, *, write_marker=True):
+    """Real-weight validation gate for the Inception port (VERDICT r2 #8).
+
+    Asserts on the published pytorch-fid checkpoint:
+    1. converter coverage — every torch tensor consumed (except
+       num_batches_tracked), every flax leaf of the model filled, shapes
+       exact vs ``jax.eval_shape`` of the model init;
+    2. live forward on a fixed procedural uint8 batch — pool3 (post-ReLU)
+       non-negativity + plausible sparsity, softmax well-formed, and the
+       activation statistics recorded for future drift checks.
+
+    Writes the gate marker (checkpoint sha256 + stats) consumed by
+    ``scripts/evaluate_fid.py``; FID/IS numbers are flagged untrusted until
+    this has run once against the real checkpoint. Reference equivalent:
+    the TF1 graph_def hash-pinned download (evaluator.py:587-598).
+    """
+    import json
+
+    import torch
+
+    sd = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    if not isinstance(sd, Mapping):
+        sd = sd.state_dict()
+    tensor_keys = {k for k, v in sd.items() if hasattr(v, "shape")}
+    consumable = {k for k in tensor_keys if not k.endswith("num_batches_tracked")}
+
+    variables = convert_inception_checkpoint(sd)
+
+    # --- coverage both ways, shape-exact ---
+    def leaves_with_path(tree, prefix=()):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, Mapping):
+                out.update(leaves_with_path(v, prefix + (k,)))
+            else:
+                out["/".join(prefix + (k,))] = v  # array or ShapeDtypeStruct
+        return out
+
+    got = leaves_with_path(variables["params"])
+    got.update({"bs/" + k: v
+                for k, v in leaves_with_path(variables["batch_stats"]).items()})
+    n_consumed = len(got)
+    if n_consumed != len(consumable):
+        raise AssertionError(
+            f"converter coverage: consumed {n_consumed} leaves but the "
+            f"checkpoint has {len(consumable)} tensors (minus "
+            "num_batches_tracked) — converter drops weights silently")
+
+    model = InceptionV3()
+    template = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                              jnp.zeros((1, 299, 299, 3)))
+    want = leaves_with_path(template["params"])
+    want.update({"bs/" + k: v
+                 for k, v in leaves_with_path(template["batch_stats"]).items()})
+    missing = sorted(set(want) - set(got))
+    extra = sorted(set(got) - set(want))
+    if missing or extra:
+        raise AssertionError(
+            f"converter/model tree mismatch: missing={missing[:5]} "
+            f"extra={extra[:5]}")
+    for k in want:
+        if tuple(got[k].shape) != tuple(want[k].shape):
+            raise AssertionError(
+                f"shape mismatch at {k}: ckpt {got[k].shape} vs model "
+                f"{want[k].shape}")
+
+    # --- live forward on the fixed probe batch ---
+    x = _fixed_uint8_batch()
+
+    @jax.jit
+    def feat(xu8):
+        return model.apply(variables, xu8.astype(jnp.float32) / 255.0)
+
+    out = jax.device_get(feat(jnp.asarray(x)))
+    pool3, softmax = out["pool3"], out["softmax"]
+    assert np.isfinite(pool3).all() and np.isfinite(softmax).all()
+    assert pool3.min() >= 0.0, "pool3 is post-ReLU — negatives mean a broken port"
+    zero_frac = float((pool3 <= 0).mean())
+    assert 0.05 < zero_frac < 0.95, (
+        f"pool3 sparsity {zero_frac:.2f} implausible for real weights")
+    np.testing.assert_allclose(softmax.sum(-1), 1.0, rtol=1e-4)
+
+    stats = {
+        "sha256": _file_sha256(ckpt_path),
+        "pool3_mean": float(pool3.mean()),
+        "pool3_std": float(pool3.std()),
+        "pool3_zero_frac": zero_frac,
+        "spatial_mean": float(out["spatial"].mean()),
+        "spatial_std": float(out["spatial"].std()),
+        "softmax_top1_mean": float(softmax.max(-1).mean()),
+        "probe_pool3_row0_head": [float(v) for v in pool3[0, :8]],
+        "n_leaves": n_consumed,
+    }
+    if write_marker:
+        p = _gate_path()
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(json.dumps(stats, indent=1))
+    return stats

@@ -46,6 +46,16 @@ def load_inception(inception_ckpt=None):
     if inception_ckpt is not None:
         import torch
 
+        from imagefolder_tpu.eval.inception import inception_gate_status
+
+        if inception_gate_status(inception_ckpt) is None:
+            print(
+                "WARNING: the Inception port has NOT been validated against "
+                f"this checkpoint ({inception_ckpt}).\n"
+                "         FID/sFID/IS numbers are NOT trustworthy until the "
+                "real-weight gate has run once:\n"
+                f"         python scripts/verify_zoo.py --inception_ckpt "
+                f"{inception_ckpt}", file=sys.stderr, flush=True)
         sd = torch.load(inception_ckpt, map_location="cpu", weights_only=False)
         variables = convert_inception_checkpoint(sd)
     else:

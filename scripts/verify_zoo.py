@@ -262,15 +262,44 @@ def check_cnn_full_parity(sd, margs, params, strict=False):
     return enc_ok and tie_like
 
 
+def check_inception_gate(ckpt_path):
+    """Real-weight Inception validation (VERDICT r2 #8): converter coverage +
+    activation statistics on a fixed uint8 batch, marker written for
+    evaluate_fid.py. Run once with the published pytorch-fid checkpoint
+    (pt_inception-2015-12-05-6726825d.pth) before trusting any FID number."""
+    from imagefolder_tpu.eval.inception import validate_inception_checkpoint
+
+    stats = validate_inception_checkpoint(ckpt_path)
+    print("[inception] converter coverage exact "
+          f"({stats['n_leaves']} leaves), probe stats recorded:")
+    for k in ("pool3_mean", "pool3_std", "pool3_zero_frac",
+              "softmax_top1_mean"):
+        print(f"    {k}: {stats[k]:.6f}")
+    print("[inception] gate marker written — evaluate_fid will trust this "
+          "checkpoint from now on")
+    return True
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", required=True)
-    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--config")
+    ap.add_argument("--ckpt")
+    ap.add_argument("--inception_ckpt", default=None,
+                    help="validate the Inception port against a real "
+                         "pytorch-fid checkpoint and write the trust marker")
     ap.add_argument("--strict", action="store_true",
                     help="require exactly zero index mismatches (use for "
                          "trained zoo checkpoints; untrained/random "
                          "codebooks can flip argmax near-ties)")
     args = ap.parse_args()
+
+    if args.inception_ckpt is not None:
+        ok = check_inception_gate(args.inception_ckpt)
+        if not (args.config and args.ckpt):
+            return 0 if ok else 1
+    elif not (args.config and args.ckpt):
+        ap.error("pass --config + --ckpt (tokenizer check) and/or "
+                 "--inception_ckpt")
 
     import torch
 

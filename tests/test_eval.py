@@ -142,3 +142,87 @@ def test_evaluator_cli_protocol(tmp_path):
     m2 = evaluate(str(ref2), str(smp), feat_fn, batch_size=32, verbose=False)
     assert m2["fid"] > 100.0  # mu shifted by 1 in every dim -> diff^2 = 2048
     assert abs(m2["sfid"]) < 1e-3
+
+
+def _fabricate_inception_sd(seed=0):
+    """Complete torch-style pytorch-fid state dict fabricated by inverting
+    the converter mapping over the model's eval_shape tree."""
+    from collections.abc import Mapping
+
+    from imagefolder_tpu.eval.inception import InceptionV3
+
+    model = InceptionV3()
+    template = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                              jnp.zeros((1, 299, 299, 3)))
+    rng = np.random.default_rng(seed)
+    sd = {}
+
+    def emit(shape, kind):
+        if kind == "kernel":
+            return rng.normal(0, 0.05, shape).astype(np.float32)
+        if kind in ("scale", "var"):
+            return rng.uniform(0.5, 1.5, shape).astype(np.float32)
+        return rng.normal(0, 0.1, shape).astype(np.float32)
+
+    def walk(tree, prefix, stats):
+        for k, v in tree.items():
+            if isinstance(v, Mapping):
+                walk(v, prefix + [k], stats)
+                continue
+            shape = tuple(v.shape)
+            if prefix == ["fc"]:
+                if k == "kernel":
+                    sd["fc.weight"] = emit((shape[1], shape[0]), "kernel")
+                else:
+                    sd["fc.bias"] = emit(shape, "bias")
+            elif prefix[-1] == "conv":  # kernel (kh,kw,in,out) -> (out,in,kh,kw)
+                key = ".".join(prefix[:-1] + ["conv", "weight"])
+                kh, kw, cin, cout = shape
+                sd[key] = emit((cout, cin, kh, kw), "kernel")
+            elif prefix[-1] == "bn":
+                name = {"scale": "weight", "bias": "bias",
+                        "mean": "running_mean", "var": "running_var"}[k]
+                sd[".".join(prefix[:-1] + ["bn", name])] = emit(shape, k)
+
+    walk(template["params"], [], False)
+    walk(template["batch_stats"], [], True)
+    return sd
+
+
+def test_inception_validation_gate(tmp_path, monkeypatch):
+    """Real-weight gate (VERDICT r2 #8) driven end-to-end on a fabricated
+    full checkpoint: coverage assertions, probe statistics, marker write,
+    and the evaluate_fid trust check."""
+    import torch
+
+    from imagefolder_tpu.eval.inception import (
+        inception_gate_status,
+        validate_inception_checkpoint,
+    )
+
+    monkeypatch.setenv("IMGF_CACHE", str(tmp_path / "cache"))
+    ckpt = tmp_path / "pt_inception_fake.pth"
+    sd = _fabricate_inception_sd()
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, ckpt)
+
+    assert inception_gate_status(str(ckpt)) is None  # never validated
+    stats = validate_inception_checkpoint(str(ckpt))
+    assert stats["n_leaves"] == len(sd)
+    assert 0.05 < stats["pool3_zero_frac"] < 0.95
+    marker = inception_gate_status(str(ckpt))
+    assert marker is not None and marker["sha256"] == stats["sha256"]
+
+    # a different checkpoint is not trusted by the marker
+    other = tmp_path / "other.pth"
+    other.write_bytes(b"not the same file")
+    assert inception_gate_status(str(other)) is None
+
+    # a checkpoint with a dropped tensor fails coverage loudly
+    bad = dict(sd)
+    bad.pop("fc.bias")
+    bad_path = tmp_path / "bad.pth"
+    torch.save({k: torch.tensor(v) for k, v in bad.items()}, bad_path)
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="coverage|mismatch|missing"):
+        validate_inception_checkpoint(str(bad_path), write_marker=False)
