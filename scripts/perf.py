@@ -1,7 +1,7 @@
 """Perf profiling tool for the bench workload (consolidates the former
 perf_probe{,2,3}.py one-offs; VERDICT r2 weak #8).
 
-Subcommands (``python scripts/profile.py <probe>``):
+Subcommands (``python scripts/perf.py <probe>``):
   pipeline   end-to-end + component split of the VQ-4096 ViT-B bench recon
              (full recon, 12-block stack, GEMM-only floor, attention kernels)
   block      transformer-block ablations (attention impl, gelu, LayerNorm)
