@@ -415,6 +415,230 @@ def _xla_attention(q, k, v, bias, scale):
     return jax.nn.dot_product_attention(q, k, v, bias=bias, scale=scale)
 
 
+# ---------------------------------------------------------------------------
+# Q-blocked kernels for the 512px regime (2048 < L <= ~2816, e.g. the VAR
+# 512px recipe L=2280, arg_util.py:287-291). One (L, L) fp32 score tile no
+# longer fits the VMEM budget, but a (L/nq, L) tile does — so the grid gains
+# a q-block dimension while k/v stay VMEM-resident across q blocks (their
+# index_map ignores j, so the pipeline fetches them once per (batch, head)).
+# No online-softmax streaming needed: each q row still sees ALL keys in one
+# tile, keeping the math identical to the single-block kernel.
+# ---------------------------------------------------------------------------
+
+
+_SCORE_TILE_BUDGET = 1 << 22  # fp32 score elements per block (tests shrink)
+
+
+def _qblk_rows(lp: int) -> int:
+    """Rows per q block: smallest power split that brings the fp32 score
+    tile under the single-block budget."""
+    nq = 1
+    while (lp // nq) * lp > _SCORE_TILE_BUDGET:
+        nq *= 2
+    return -(-lp // (8 * nq)) * 8
+
+
+def _kernel_qblk(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, lk):
+    q = q_ref[0]          # (Qp, hd)
+    k = k_ref[0]          # (Lkp, hd)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (Qp, Lkp)
+    if b_ref is not None:
+        s = s + b_ref[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < lk, s, -jnp.inf)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o = o / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _fused_attention_qblk_fwd(q, k, v, bias, scale=None, interpret=False):
+    b, lq, h, hd = q.shape
+    lk = k.shape[1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(hd)
+    if bias is not None and bias.shape[2:] != (lq, lk):
+        raise ValueError(f"bias {bias.shape} does not match (Lq, Lk)="
+                         f"({lq}, {lk})")
+    lqp = -(-lq // 8) * 8
+    lkp = -(-lk // 8) * 8
+    qblk = _qblk_rows(lqp)
+    nq = -(-lqp // qblk)
+    lqp = nq * qblk  # pad q rows to a whole number of blocks
+
+    def to_bh(x, lp):
+        x = _pad_to(x, lp, 1)
+        return x.transpose(0, 2, 1, 3).reshape(b * h, lp, hd)
+
+    qb, kb, vb = to_bh(q, lqp), to_bh(k, lkp), to_bh(v, lkp)
+    specs = [pl.BlockSpec((1, qblk, hd), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((1, lkp, hd), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((1, lkp, hd), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)]
+    args = [qb, kb, vb]
+    if bias is not None:
+        bias_f = _pad_to(_pad_to(bias.astype(jnp.float32), lqp, 2),
+                         lkp, 3).reshape(1, lqp, lkp)
+        specs.append(pl.BlockSpec((1, qblk, lkp), lambda i, j: (0, j, 0),
+                                  memory_space=pltpu.VMEM))
+        args.append(bias_f)
+
+        kern = functools.partial(_kernel_qblk, scale=scale, lk=lk)
+    else:
+        kern = functools.partial(
+            lambda qr, kr, vr, orf, **kw: _kernel_qblk(qr, kr, vr, None, orf,
+                                                       **kw),
+            scale=scale, lk=lk)
+    out = pl.pallas_call(
+        kern,
+        grid=(b * h, nq),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, qblk, hd), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, lqp, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(*args)
+    out = out.reshape(b, h, lqp, hd).transpose(0, 2, 1, 3)
+    return out[:, :lq]
+
+
+def _qblk_bwd_kernel_impl(q_ref, k_ref, v_ref, g_ref, b_ref,
+                          dq_ref, dk_ref, dv_ref, db_ref, *, scale, n,
+                          qblk):
+    j = pl.program_id(1)
+    np_, hd = k_ref.shape[1], k_ref.shape[2]
+    rowk = jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)
+    k = jnp.where(rowk < n, k_ref[0], 0)
+    v = jnp.where(rowk < n, v_ref[0], 0)
+    rowq = jax.lax.broadcasted_iota(jnp.int32, (qblk, 1), 0) + j * qblk
+    q = jnp.where(rowq < n, q_ref[0], 0)
+    do = jnp.where(rowq < n, g_ref[0], 0)
+    bias = None if b_ref is None else b_ref[0]  # (qblk, Lkp)
+
+    if db_ref is not None:
+        @pl.when((pl.program_id(0) == 0) & (j == 0))
+        def _initb():
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+    @pl.when(j == 0)
+    def _initkv():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (qblk, Lkp)
+    if bias is not None:
+        s = s + bias
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n, s, -jnp.inf)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    # zero padded q rows so they contribute nothing to dk/dv/db
+    p = jnp.where(rowq < n, p, 0.0)
+    pb = p.astype(v.dtype)
+    dv = jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    dsb = ds.astype(q.dtype)
+    dq = jax.lax.dot_general(dsb, k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(dsb, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] += dk.astype(dk_ref.dtype)
+    dv_ref[0] += dv.astype(dv_ref.dtype)
+    if db_ref is not None:
+        db_ref[pl.dslice(j * qblk, qblk), :] += ds
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _fused_attention_qblk_bwd(q, k, v, bias, g, scale=None, interpret=False):
+    """Q-blocked Pallas backward (self-attention, shared bias). dk/dv are
+    accumulated in their VMEM-resident blocks across the (sequential) q-block
+    grid dimension; dbias accumulates across the whole grid."""
+    b, l, h, hd = q.shape
+    if bias is not None and bias.shape[2:] != (l, l):
+        raise ValueError(f"bias {bias.shape} does not match L={l}")
+    if scale is None:
+        scale = 1.0 / math.sqrt(hd)
+    lkp = -(-l // 8) * 8
+    qblk = _qblk_rows(lkp)
+    nq = -(-lkp // qblk)
+    lqp = nq * qblk
+
+    def to_bh(x, lp):
+        return _pad_to(x, lp, 1).transpose(0, 2, 1, 3).reshape(b * h, lp, hd)
+
+    qb, gb = to_bh(q, lqp), to_bh(g, lqp)
+    kb, vb = to_bh(k, lkp), to_bh(v, lkp)
+    qspec = pl.BlockSpec((1, qblk, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, lkp, hd), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    in_specs = [qspec, kvspec, kvspec, qspec]
+    args = [qb, kb, vb, gb]
+    out_specs = [qspec, kvspec, kvspec]
+    out_shape = [jax.ShapeDtypeStruct((b * h, lqp, hd), q.dtype),
+                 jax.ShapeDtypeStruct((b * h, lkp, hd), jnp.float32),
+                 jax.ShapeDtypeStruct((b * h, lkp, hd), jnp.float32)]
+    if bias is not None:
+        bias_f = _pad_to(_pad_to(bias.astype(jnp.float32), lqp, 2),
+                         lkp, 3).reshape(1, lqp, lkp)
+        in_specs.append(pl.BlockSpec((1, qblk, lkp), lambda i, j: (0, j, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias_f)
+        out_specs.append(pl.BlockSpec((lqp, lkp), lambda i, j: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((lqp, lkp), jnp.float32))
+
+        def kern(qr, kr, vr, gr, br, dqr, dkr, dvr, dbr):
+            _qblk_bwd_kernel_impl(qr, kr, vr, gr, br, dqr, dkr, dvr, dbr,
+                                  scale=scale, n=l, qblk=qblk)
+    else:
+        def kern(qr, kr, vr, gr, dqr, dkr, dvr):
+            _qblk_bwd_kernel_impl(qr, kr, vr, gr, None, dqr, dkr, dvr, None,
+                                  scale=scale, n=l, qblk=qblk)
+    out = pl.pallas_call(
+        kern,
+        grid=(b * h, nq),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(*args)
+
+    def from_bh(x, lp):
+        return x.reshape(b, h, lp, hd).transpose(0, 2, 1, 3)[:, :l]
+
+    dq = from_bh(out[0], lqp)
+    dk = from_bh(out[1], lkp).astype(q.dtype)
+    dv = from_bh(out[2], lkp).astype(q.dtype)
+    if bias is None:
+        return dq, dk, dv, None
+    dbias = out[3][:l, :l][None, None].astype(bias.dtype)
+    return dq, dk, dv, dbias
+
+
+# the q-blocked path is exact (each q row sees all keys in one tile); cap
+# where the bwd dbias block + score tiles still fit the 100MB VMEM budget
+_QBLK_MAX_L = 2816
+
+
 def _bnhd_bwd_kernel_impl(q_ref, k_ref, v_ref, g_ref, b_ref,
                           dq_ref, dk_ref, dv_ref, db_ref, *, scale, n):
     np_, hd = q_ref.shape[1], q_ref.shape[2]
@@ -524,15 +748,40 @@ def _fad_bwd(scale, res, g):
 _fused_attention_diff.defvjp(_fad_fwd, _fad_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_attention_qblk_diff(q, k, v, bias, scale):
+    return _fused_attention_qblk_fwd(q, k, v, bias, scale=scale)
+
+
+def _faq_fwd(q, k, v, bias, scale):
+    return (_fused_attention_qblk_fwd(q, k, v, bias, scale=scale),
+            (q, k, v, bias))
+
+
+def _faq_bwd(scale, res, g):
+    q, k, v, bias = res
+    return _fused_attention_qblk_bwd(q, k, v, bias, g, scale=scale)
+
+
+_fused_attention_qblk_diff.defvjp(_faq_fwd, _faq_bwd)
+
+
 def dot_product_attention(q, k, v, bias=None, scale=None):
     """Drop-in for jax.nn.dot_product_attention that uses the fused Pallas
     kernel on TPU-family backends (exact-match verified; differentiable via
     a native Pallas backward kernel for the self-attention/shared-bias case,
-    XLA-recompute VJP otherwise) and XLA elsewhere."""
+    XLA-recompute VJP otherwise) and XLA elsewhere. Sequences past the
+    single-block VMEM budget (512px VAR, L=2280) take the q-blocked kernels
+    up to L=2816."""
     try:
         backend = jax.default_backend()
     except RuntimeError:
         backend = "cpu"
-    if backend in ("tpu", "axon") and q.shape[1] * k.shape[1] <= 1 << 22:
-        return _fused_attention_diff(q, k, v, bias, scale)
+    if backend in ("tpu", "axon"):
+        if q.shape[1] * k.shape[1] <= 1 << 22:
+            return _fused_attention_diff(q, k, v, bias, scale)
+        shared = bias is None or (bias.shape[0] == 1 and bias.shape[1] == 1)
+        if (shared and q.shape[1] == k.shape[1]
+                and q.shape[1] <= _QBLK_MAX_L):
+            return _fused_attention_qblk_diff(q, k, v, bias, scale)
     return jax.nn.dot_product_attention(q, k, v, bias=bias, scale=scale)
