@@ -233,7 +233,9 @@ def main():
     if args.phase == "a":
         print("[soak] phase A: init + compile", flush=True)
         t0 = time.time()
-        state = trainer.init(key, jax.numpy.asarray(pool[:2]))
+        # jit the init: eager flax init over the axon tunnel is an RPC per op
+        state = jax.jit(trainer.init)(key, jax.numpy.asarray(pool[:2]))
+        print(f"[soak] init done in {time.time() - t0:.0f}s", flush=True)
         with open(out / "metrics_a.csv", "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=fieldnames,
                                extrasaction="ignore")
