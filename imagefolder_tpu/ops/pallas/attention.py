@@ -297,7 +297,10 @@ def attention_qkv(qkv, heads: int, bias=None, scale: Optional[float] = None):
         backend = jax.default_backend()
     except RuntimeError:
         backend = "cpu"
-    if backend in ("tpu", "axon") and n * n <= 1 << 22 and (
+    # VMEM budget: the per-head fp32 score/p/dp tiles dominate (bwd needs
+    # ~3*N^2*4B + the qkv slab); N=2176 keeps the bwd under ~80MB of the
+    # 100MB scoped limit. Covers the 512px tokenizer (L=2049).
+    if backend in ("tpu", "axon") and n <= 2176 and (
             bias is None or (bias.shape[0] == 1 and bias.shape[1] == 1)):
         return _attention_qkv_diff(qkv, bias, heads, scale)
     return _qkv_xla(qkv, bias, heads, scale)
