@@ -297,12 +297,20 @@ def attention_qkv(qkv, heads: int, bias=None, scale: Optional[float] = None):
         backend = jax.default_backend()
     except RuntimeError:
         backend = "cpu"
-    # VMEM budget: the per-head fp32 score/p/dp tiles dominate (bwd needs
-    # ~3*N^2*4B + the qkv slab); N=2176 keeps the bwd under ~80MB of the
-    # 100MB scoped limit. Covers the 512px tokenizer (L=2049).
-    if backend in ("tpu", "axon") and n <= 2176 and (
-            bias is None or (bias.shape[0] == 1 and bias.shape[1] == 1)):
-        return _attention_qkv_diff(qkv, bias, heads, scale)
+    shared = bias is None or (bias.shape[0] == 1 and bias.shape[1] == 1)
+    if backend in ("tpu", "axon") and shared:
+        if n * n <= 1 << 22:
+            return _attention_qkv_diff(qkv, bias, heads, scale)
+        if n <= _QBLK_MAX_L:
+            # 512px tokenizer regime (L=2049): the single-block packed
+            # kernel's 12 concurrent per-head score tiles blow VMEM, so pay
+            # the BNHD layout moves and use the q-blocked kernels (still
+            # ~2.7x over XLA at these L)
+            c = c3 // 3
+            qkv4 = qkv.reshape(b, n, 3, heads, c // heads)
+            o = _fused_attention_qblk_diff(
+                qkv4[:, :, 0], qkv4[:, :, 1], qkv4[:, :, 2], bias, scale)
+            return o.reshape(b, n, c)
     return _qkv_xla(qkv, bias, heads, scale)
 
 
