@@ -24,7 +24,6 @@ from imagefolder_tpu.train.optim import (
     adamw_with_freezing,
     ema_update,
     lr_wd_annealing,
-    no_decay_predicate,
 )
 
 __all__ = ["build_vae_var", "VARTrainConfig", "VARTrainState", "VARTrainer",
