@@ -350,11 +350,17 @@ def validate_inception_checkpoint(ckpt_path, *, write_marker=True):
 
     out = jax.device_get(feat(jnp.asarray(x)))
     pool3, softmax = out["pool3"], out["softmax"]
-    assert np.isfinite(pool3).all() and np.isfinite(softmax).all()
-    assert pool3.min() >= 0.0, "pool3 is post-ReLU — negatives mean a broken port"
+    # explicit raises, not asserts: the trust marker must never be written
+    # with the activation checks compiled away (python -O)
+    if not (np.isfinite(pool3).all() and np.isfinite(softmax).all()):
+        raise AssertionError("non-finite activations in validated forward")
+    if pool3.min() < 0.0:
+        raise AssertionError(
+            "pool3 is post-ReLU — negatives mean a broken port")
     zero_frac = float((pool3 <= 0).mean())
-    assert 0.05 < zero_frac < 0.95, (
-        f"pool3 sparsity {zero_frac:.2f} implausible for real weights")
+    if not 0.05 < zero_frac < 0.95:
+        raise AssertionError(
+            f"pool3 sparsity {zero_frac:.2f} implausible for real weights")
     np.testing.assert_allclose(softmax.sum(-1), 1.0, rtol=1e-4)
 
     stats = {

@@ -24,6 +24,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_attention", "attention_qkv"]
 
+# fp32 score elements (Lq*Lk) that fit a single-block kernel's VMEM tile;
+# beyond this the q-blocked kernels (or XLA) take over
+_SINGLE_MAX_ELEMS = 1 << 22
+
+
+def _tpu_backend() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
 
 # ---------------------------------------------------------------------------
 # Packed-layout kernel: qkv in the natural Dense-output layout (B, N, 3C).
@@ -293,15 +304,11 @@ def attention_qkv(qkv, heads: int, bias=None, scale: Optional[float] = None):
     recompute, no (L, L) residuals in HBM).
     """
     b, n, c3 = qkv.shape
-    try:
-        backend = jax.default_backend()
-    except RuntimeError:
-        backend = "cpu"
     shared = bias is None or (bias.shape[0] == 1 and bias.shape[1] == 1)
-    if backend in ("tpu", "axon") and shared:
-        if n * n <= 1 << 22:
+    if _tpu_backend() and shared:
+        if n * n <= _SINGLE_MAX_ELEMS:
             return _attention_qkv_diff(qkv, bias, heads, scale)
-        if n <= _QBLK_MAX_L:
+        if n <= _qblk_max_l(bias):
             # 512px tokenizer regime (L=2049): the single-block packed
             # kernel's 12 concurrent per-head score tiles blow VMEM, so pay
             # the BNHD layout moves and use the q-blocked kernels (still
@@ -645,9 +652,21 @@ def _fused_attention_qblk_bwd(q, k, v, bias, g, scale=None, interpret=False):
     return dq, dk, dv, dbias
 
 
-# the q-blocked path is exact (each q row sees all keys in one tile); cap
-# where the bwd dbias block + score tiles still fit the 100MB VMEM budget
-_QBLK_MAX_L = 2816
+# The q-blocked path is exact (each q row sees all keys in one tile). The
+# caps keep the *backward* kernel inside the 100MB VMEM budget — bwd is the
+# binding constraint because its biased variant holds the full (L,L) fp32
+# dbias accumulator resident across the grid on top of the per-block fp32
+# score tiles. At L=2304 (qblk=1152): dbias 21.2MB + bias block 10.6MB +
+# ~4 live score tiles 42.5MB ~ 75MB. Validated on chip at L=2240 (the 512px
+# VAR recipe). No-bias bwd has no dbias matrix; at L=2816 its score tiles
+# total ~65MB (covers the 512px tokenizer, L=2049). Beyond the caps the
+# routing falls back to XLA (correct, slower).
+_QBLK_MAX_L = 2816          # no-bias
+_QBLK_MAX_L_BIASED = 2304   # shared-bias (dbias accumulator resident)
+
+
+def _qblk_max_l(bias) -> int:
+    return _QBLK_MAX_L if bias is None else _QBLK_MAX_L_BIASED
 
 
 def _bnhd_bwd_kernel_impl(q_ref, k_ref, v_ref, g_ref, b_ref,
@@ -782,17 +801,13 @@ def dot_product_attention(q, k, v, bias=None, scale=None):
     kernel on TPU-family backends (exact-match verified; differentiable via
     a native Pallas backward kernel for the self-attention/shared-bias case,
     XLA-recompute VJP otherwise) and XLA elsewhere. Sequences past the
-    single-block VMEM budget (512px VAR, L=2280) take the q-blocked kernels
-    up to L=2816."""
-    try:
-        backend = jax.default_backend()
-    except RuntimeError:
-        backend = "cpu"
-    if backend in ("tpu", "axon"):
-        if q.shape[1] * k.shape[1] <= 1 << 22:
+    single-block VMEM budget (512px VAR, L=2240) take the q-blocked kernels
+    up to the `_QBLK_MAX_L*` caps."""
+    if _tpu_backend():
+        if q.shape[1] * k.shape[1] <= _SINGLE_MAX_ELEMS:
             return _fused_attention_diff(q, k, v, bias, scale)
         shared = bias is None or (bias.shape[0] == 1 and bias.shape[1] == 1)
         if (shared and q.shape[1] == k.shape[1]
-                and q.shape[1] <= _QBLK_MAX_L):
+                and q.shape[1] <= _qblk_max_l(bias)):
             return _fused_attention_qblk_diff(q, k, v, bias, scale)
     return jax.nn.dot_product_attention(q, k, v, bias=bias, scale=scale)

@@ -160,13 +160,14 @@ def attn_sublayer(xn, res, wq, bq, wp, bp, ls, heads: int,
     mask is given; pure XLA off-TPU. xn: LN output (activation dtype); res:
     residual stream. Returns fp32 (matching the flax promotion through the
     fp32 layerscale)."""
-    try:
-        backend = jax.default_backend()
-    except RuntimeError:
-        backend = "cpu"
+    from imagefolder_tpu.ops.pallas.attention import (
+        _SINGLE_MAX_ELEMS,
+        _tpu_backend,
+    )
+
     n = xn.shape[1]
-    if (_FUSE_ATTN_SUBLAYER and mask is None and backend in ("tpu", "axon")
-            and n * n <= 1 << 22):
+    if (_FUSE_ATTN_SUBLAYER and mask is None and _tpu_backend()
+            and n * n <= _SINGLE_MAX_ELEMS):
         return _attn_sublayer_diff(xn, res, wq, bq, wp, bp, ls, heads)
     # composed path: XLA GEMMs + packed attention kernel (itself XLA off-TPU)
     from imagefolder_tpu.ops.pallas.attention import attention_qkv
@@ -263,10 +264,8 @@ _mlp_sublayer_diff.defvjp(_msd_fwd, _msd_bwd)
 def mlp_sublayer(xn, res, w1, b1, w2, b2, ls):
     """Fused x + ls * fc2(gelu_exact(fc1(xn))). XLA fallback off-TPU.
     Returns fp32."""
-    try:
-        backend = jax.default_backend()
-    except RuntimeError:
-        backend = "cpu"
-    if _FUSE_MLP_SUBLAYER and backend in ("tpu", "axon"):
+    from imagefolder_tpu.ops.pallas.attention import _tpu_backend
+
+    if _FUSE_MLP_SUBLAYER and _tpu_backend():
         return _mlp_sublayer_diff(xn, res, w1, b1, w2, b2, ls)
     return _mlp_sublayer_xla(xn, res, w1, b1, w2, b2, ls)

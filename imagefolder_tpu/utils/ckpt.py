@@ -106,6 +106,52 @@ class CheckpointManager:
             return None
         return blob[8:]
 
+    def apply_data_state(self, step: int, iterator, log=print) -> bool:
+        """restore_data_state + set_state with graceful fallback: a blob
+        whose pipeline identity no longer matches (e.g. the loader was
+        rebuilt between versions — grain validates repr(data_source)) starts
+        a fresh stream instead of aborting the resumed run."""
+        blob = self.restore_data_state(step)
+        if blob is None:
+            return False
+        try:
+            iterator.set_state(blob)
+            return True
+        except Exception as e:  # grain raises ValueError on identity change
+            log(f"data-stream state incompatible with this loader ({e}); "
+                "falling back to a fresh stream")
+            return False
+
+    def save_aux(self, step: int, aux: dict):
+        """Small host-side trainer state that rides alongside the params
+        (e.g. the VAR progressive-warmup counters, reference
+        trainer.state_dict()); rank-0-written JSON, like the reference's
+        trainer dict inside ar-ckpt*.pth (train.py:249-261)."""
+        if not self._primary:
+            return
+        import json
+
+        path = self.directory / "aux_state.json"
+        tmp = path.with_suffix(".tmp")
+        tmp.write_text(json.dumps({"step": step, **aux}))
+        os.replace(tmp, path)
+
+    def restore_aux(self, step: int) -> Optional[dict]:
+        """Aux state saved at `step`, or None when absent/from another step
+        (callers keep their fresh defaults, matching upstream resume)."""
+        path = self.directory / "aux_state.json"
+        if not path.exists():
+            return None
+        import json
+
+        try:
+            d = json.loads(path.read_text())
+        except ValueError:
+            return None
+        if d.pop("step", None) != step:
+            return None
+        return d
+
     def wait(self):
         self._mgr.wait_until_finished()
         self._barrier("wait")

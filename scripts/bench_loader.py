@@ -95,7 +95,13 @@ def bench_predecoded(root, n, image_size=256):
 def bench_grain(data_root, n, batch_size=64, workers=None):
     from imagefolder_tpu.data.imagenet import make_dataloader
 
+    from imagefolder_tpu.data.imagenet import list_image_folder
+
     workers = workers if workers is not None else (os.cpu_count() or 1)
+    # mirror make_dataloader's clamp (workers <= records/batch) — report the
+    # count actually running, or the per-worker capacity model is skewed
+    n_records = len(list_image_folder(data_root)[0])
+    workers = max(0, min(workers, n_records // max(batch_size, 1)))
     loader = make_dataloader(data_root, batch_size, 256, train=True,
                              num_workers=workers, num_epochs=None, seed=0)
     it = iter(loader)

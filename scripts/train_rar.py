@@ -173,11 +173,9 @@ def main():
 
     mlog = MetricLogger(logger, args.log_every)
     it = batches
-    if start and hasattr(it, "set_state"):
-        dstate = ckpt.restore_data_state(start)
-        if dstate is not None:
-            it.set_state(dstate)
-            logger.info("restored data-stream state")
+    if start and hasattr(it, "set_state") and ckpt.apply_data_state(
+            start, it, log=logger.info):
+        logger.info("restored data-stream state")
     for step in range(start, args.total_steps):
         toks, labels = next(it)
         ratio = get_rar_random_ratio(tcfg.random_ratio_anneal_start,

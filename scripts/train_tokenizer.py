@@ -106,11 +106,9 @@ def main():
 
     step = start_step
     data_raw = iter(loader)
-    if start_step:
-        dstate = ckpt.restore_data_state(start_step)
-        if dstate is not None:
-            data_raw.set_state(dstate)
-            logger.info("restored data-stream state (exact batch-order resume)")
+    if start_step and ckpt.apply_data_state(start_step, data_raw,
+                                            log=logger.info):
+        logger.info("restored data-stream state (exact batch-order resume)")
     data_it = device_prefetch(data_raw)
     t0 = time.time()
     for epoch in range(start_step // tcfg.steps_per_epoch, run.epochs):

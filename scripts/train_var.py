@@ -94,6 +94,12 @@ def main():
     if restored is not None:
         state = restored
         logger.info(f"resumed at step {start}")
+        aux = ckpt.restore_aux(start)
+        if aux and "prog" in aux:
+            # mid-stage warmup counters survive the restart (reference
+            # keeps prog_it/last_prog_si in trainer.state_dict)
+            prog.load_state_dict(aux["prog"])
+            logger.info("restored progressive-training state")
 
     assert args.batch_size % jax.process_count() == 0
     loader = make_dataloader(run.data_path,
@@ -103,11 +109,8 @@ def main():
                              shard_count=jax.process_count())
     mlog = MetricLogger(logger, args.log_every)
     raw = iter(loader)
-    if start:
-        dstate = ckpt.restore_data_state(start)
-        if dstate is not None:
-            raw.set_state(dstate)
-            logger.info("restored data-stream state")
+    if start and ckpt.apply_data_state(start, raw, log=logger.info):
+        logger.info("restored data-stream state")
     it = device_prefetch(raw)
     for step in range(start, total):
         try:
@@ -128,6 +131,7 @@ def main():
         if (step + 1) % args.ckpt_every == 0:
             ckpt.save(step + 1, jax.device_get(state))
             ckpt.save_data_state(step + 1, it.state)
+            ckpt.save_aux(step + 1, {"prog": prog.state_dict()})
     ckpt.save(total, jax.device_get(state))
     ckpt.wait()
 
