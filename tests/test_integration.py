@@ -152,3 +152,32 @@ def test_jsonl_batches_resume():
     t0, _ = next(s0)
     t1, _ = next(s1)
     assert not np.array_equal(t0, t1)
+
+
+def test_ckpt_aux_and_incompatible_data_state(tmp_path):
+    """aux_state (VAR progressive counters) roundtrips by step, and a loader
+    blob whose pipeline identity no longer matches falls back to a fresh
+    stream instead of aborting the resumed run."""
+    from imagefolder_tpu.utils.ckpt import CheckpointManager
+
+    ckpt = CheckpointManager(str(tmp_path / "c"))
+    prog = {"prog_it": 7, "last_prog_si": 5, "first_prog": False}
+    ckpt.save_aux(100, {"prog": prog})
+    assert ckpt.restore_aux(100) == {"prog": prog}
+    assert ckpt.restore_aux(99) is None  # wrong step -> fresh defaults
+
+    class Incompatible:
+        def set_state(self, blob):
+            raise ValueError("DataSource in checkpoint does not match")
+
+    class Ok:
+        def set_state(self, blob):
+            self.blob = blob
+
+    assert ckpt.apply_data_state(5, Ok()) is False  # nothing saved
+    ckpt.save_data_state(5, b"xyz")
+    msgs = []
+    assert ckpt.apply_data_state(5, Incompatible(), log=msgs.append) is False
+    assert "incompatible" in msgs[0]
+    ok = Ok()
+    assert ckpt.apply_data_state(5, ok) is True and ok.blob == b"xyz"
