@@ -73,15 +73,21 @@ def build(args):
         TokenizerTrainer,
     )
 
+    if args.image_size == 512:
+        # 512px recipe (reference arg_util.py:287-291): 32x32 latent grid,
+        # pn pyramid up to 32 -> ViT L=2049, the q-blocked kernel regime
+        pns, n_latent = (1, 2, 3, 4, 6, 9, 13, 18, 24, 32), 1024
+    else:
+        pns, n_latent = (1, 1, 2, 3, 3, 4, 5, 6, 8, 11), 121
     margs = ModelArgs(
         codebook_size=4096,
         codebook_embed_dim=32,
-        v_patch_nums=(1, 1, 2, 3, 3, 4, 5, 6, 8, 11),
+        v_patch_nums=pns,
         enc_type="dinov2", dec_type="dinov2",
         encoder_model="vit_small_patch14_dinov2.lvd142m",
         decoder_model="vit_small_patch14_dinov2.lvd142m",
         semantic_guide="dinov2", detail_guide="none",
-        num_latent_tokens=121, product_quant=2,
+        num_latent_tokens=n_latent, product_quant=2,
         abs_pos_embed=True, codebook_drop=0.1, start_drop=3,
         image_size=args.image_size, dtype_str="bfloat16",
     )
