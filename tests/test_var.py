@@ -319,3 +319,36 @@ def test_progressive_controller_matches_reference_schedule():
     off = ProgressiveController(num_stages, pg=0.0)
     assert off.stage(5, wp_it, max_it) == -1
     assert off.step(-1) == (-1, 1.0)
+
+
+def test_progressive_controller_resume_roundtrip():
+    """A controller restored from state_dict mid-stage continues the exact
+    (prog_si, prog_wp) trajectory of an uninterrupted run — the warmup ramp
+    of the in-flight stage must survive a kill/resume (the reference keeps
+    prog_it/last_prog_si in trainer.state_dict)."""
+    from imagefolder_tpu.train.var_train import ProgressiveController
+
+    def make():
+        return ProgressiveController(len(PNS), pg=0.8, pg0=1, prog_wp_it=4.0)
+
+    wp_it, max_it = 10, 100
+    ref = make()
+    full = [ref.step(ref.stage(g, wp_it, max_it)) for g in range(80)]
+    # kill one iter into an active warmup ramp (wp < 1), past the first stage
+    kill = next(g for g in range(20, 70) if full[g][1] < 1.0) + 1
+
+    a = make()
+    for g in range(kill):
+        a.step(a.stage(g, wp_it, max_it))
+    blob = a.state_dict()
+
+    b = make()  # fresh process
+    b.load_state_dict(blob)
+    resumed = [b.step(b.stage(g, wp_it, max_it)) for g in range(kill, 80)]
+    assert resumed == full[kill:]
+
+    # without restore, the in-flight stage's ramp is lost (the bug guarded):
+    # a fresh controller reports first_prog=True -> wp forced to 1.0
+    c = make()
+    cold = [c.step(c.stage(g, wp_it, max_it)) for g in range(kill, 80)]
+    assert cold != full[kill:]
