@@ -76,6 +76,8 @@ class RARTrainer:
             sched, weight_decay=tcfg.weight_decay, b1=tcfg.beta1,
             b2=tcfg.beta2, grad_clip=tcfg.grad_clip)
 
+    # jitted: one compile instead of an eager per-primitive dispatch cascade
+    @partial(jax.jit, static_argnums=(0,))
     def init(self, rng, sample_tokens, sample_labels) -> RARTrainState:
         params = self.rar.init(
             {"params": rng}, sample_tokens,

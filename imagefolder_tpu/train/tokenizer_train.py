@@ -198,6 +198,9 @@ class TokenizerTrainer:
         self.g_loss = G_LOSSES[tcfg.gen_loss]
 
     # ------------------------------------------------------------------ #
+    # jitted: eager flax init dispatches every primitive as its own tiny
+    # XLA program (hundreds of compile RPCs); one jitted graph compiles once
+    @partial(jax.jit, static_argnums=(0,))
     def init(self, rng, sample_imgs) -> TokenizerTrainState:
         k1, k2, k3 = jax.random.split(rng, 3)
         variables = self.model.init(k1, sample_imgs, train=False)

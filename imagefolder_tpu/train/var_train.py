@@ -158,6 +158,8 @@ class VARTrainer:
         self.L = sum(p * p for p in pns)
         self.last_l = pns[-1] ** 2
 
+    # jitted: one compile instead of an eager per-primitive dispatch cascade
+    @partial(jax.jit, static_argnums=(0,))
     def init(self, rng, vae_params, sample_imgs) -> VARTrainState:
         k1, k2 = jax.random.split(rng)
         idx = self.vae.apply({"params": vae_params}, sample_imgs,

@@ -49,7 +49,9 @@ def main():
     from scripts.pretokenize import _load_params
 
     margs, _, _ = load_tokenizer_config(args.config)
-    vae, var = build_vae_var(margs, depth=args.depth, dtype_str="bfloat16")
+    vae, var = build_vae_var(margs, depth=args.depth,
+                             num_classes=args.num_classes,
+                             dtype_str="bfloat16")
     vae_params = _load_params(args.vq_ckpt, vae, margs)
 
     import orbax.checkpoint as ocp

@@ -112,6 +112,8 @@ def main():
     ap.add_argument("--depth", type=int, default=24)
     ap.add_argument("--heads", type=int, default=16)
     ap.add_argument("--codebook_size", type=int, default=4096)
+    ap.add_argument("--num_classes", type=int, default=1000,
+                    help="condition_num_classes (robustTok-rar.yaml)")
     ap.add_argument("--batch_size", type=int, default=256)
     ap.add_argument("--total_steps", type=int, default=250_000)
     ap.add_argument("--ckpt_every", type=int, default=10_000)
@@ -154,6 +156,7 @@ def main():
     rar = RAR(RARConfig(embed_dim=args.hidden, depth=args.depth,
                         num_heads=args.heads, image_seq_len=seq_len,
                         codebook_size=args.codebook_size,
+                        condition_num_classes=args.num_classes,
                         dtype_str="bfloat16"))
     tcfg = RARTrainConfig(total_steps=args.total_steps,
                           warmup_steps=args.total_steps // 4,

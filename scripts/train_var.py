@@ -39,6 +39,7 @@ def main():
     ap.add_argument("--pgwp", type=float, default=0.0,
                     help="warmup epochs per progressive stage (reference "
                          "pgwp; 0 -> epochs/300)")
+    ap.add_argument("--num_classes", type=int, default=1000)
     ap.add_argument("--output", default="output/var")
     ap.add_argument("--log_every", type=int, default=100)
     ap.add_argument("--ckpt_every", type=int, default=5000)
@@ -67,7 +68,9 @@ def main():
 
     logger = create_logger(args.output)
     margs, _, run = load_tokenizer_config(args.config)
-    vae, var = build_vae_var(margs, depth=args.depth, dtype_str="bfloat16")
+    vae, var = build_vae_var(margs, depth=args.depth,
+                             num_classes=args.num_classes,
+                             dtype_str="bfloat16")
     vae_params = _load_params(args.vq_ckpt, vae, margs)
 
     n_train = len(list_image_folder(run.data_path)[0])
