@@ -40,7 +40,9 @@ Prints exactly one JSON line on stdout (diagnostics go to stderr).
 """
 
 import json
+import os
 import sys
+import threading
 import time
 import traceback
 
@@ -151,8 +153,29 @@ def _run():
     return BATCH / dt
 
 
+WATCHDOG_S = 1500  # a wedged tunnel BLOCKS inside native code on the first
+#                    device op — no exception, and signals can't preempt the
+#                    C call. A daemon thread emits the error JSON and exits
+#                    so the driver still records one valid line.
+
+
+def _arm_watchdog(done: threading.Event):
+    def fire():
+        if done.wait(WATCHDOG_S):
+            return
+        result = dict(RESULT_TEMPLATE)
+        result["error"] = (f"no result after {WATCHDOG_S}s — backend hung "
+                           "(device op blocked in native code)")
+        print(json.dumps(result), flush=True)
+        os._exit(0)
+
+    threading.Thread(target=fire, daemon=True).start()
+
+
 def main():
     result = dict(RESULT_TEMPLATE)
+    done = threading.Event()
+    _arm_watchdog(done)
     try:
         img_per_sec = _run()
         result["value"] = round(img_per_sec, 2)
@@ -164,13 +187,8 @@ def main():
             result["vs_baseline"] * COST_RATIO_A100_OVER_V5E, 2)
     except Exception as e:
         _log(traceback.format_exc())
-        try:
-            import jax
-            devs = str(jax.devices())
-        except Exception as de:
-            devs = f"<jax.devices() failed: {de}>"
         result["error"] = f"{type(e).__name__}: {e}"
-        result["devices"] = devs
+    done.set()
     print(json.dumps(result), flush=True)
 
 
