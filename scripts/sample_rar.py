@@ -1,6 +1,8 @@
-"""RAR 50k-sample FID pipeline (reference ``sample_imagenet_rar.py`` +
-``demo_util.sample_fn``): class-balanced labels -> RAR.generate ->
-tokenizer.decode_tokens -> uint8 npz (+ optional FID if stats provided).
+"""RAR/MaskGIT 50k-sample FID pipeline (reference ``sample_imagenet_rar.py``
++ ``demo_util.sample_fn``, model_type rar|maskgit): class-balanced labels ->
+generate -> tokenizer.decode_tokens -> uint8 npz (+ optional FID if stats
+provided). ``--model maskgit`` samples a ``train_rar.py --model maskgit``
+checkpoint via iterative parallel decoding (``RAR/maskgit.py:111-193``).
 """
 
 from __future__ import annotations
@@ -25,6 +27,11 @@ def main():
     ap.add_argument("--config", required=True, help="tokenizer yaml")
     ap.add_argument("--vq_ckpt", required=True)
     ap.add_argument("--rar_ckpt", required=True)
+    ap.add_argument("--model", choices=["rar", "maskgit"], default="rar")
+    ap.add_argument("--guidance_decay", default="constant",
+                    choices=["constant", "linear", "power-cosine"])
+    ap.add_argument("--num_sample_steps", type=int, default=8,
+                    help="maskgit parallel-decode steps")
     ap.add_argument("--hidden", type=int, default=768)
     ap.add_argument("--depth", type=int, default=24)
     ap.add_argument("--heads", type=int, default=16)
@@ -55,20 +62,37 @@ def main():
     vae_params = _load_params(args.vq_ckpt, vae, margs)
 
     seq_len = margs.num_latent_tokens * margs.product_quant
-    rar = RAR(RARConfig(embed_dim=args.hidden, depth=args.depth,
-                        num_heads=args.heads, image_seq_len=seq_len,
-                        codebook_size=margs.codebook_size,
-                        condition_num_classes=args.num_classes,
-                        dtype_str="bfloat16"))
     import orbax.checkpoint as ocp
 
     restored = ocp.StandardCheckpointer().restore(Path(args.rar_ckpt).absolute())
     rar_params = restored.get("ema_params") or restored["params"]
 
-    gen = jax.jit(lambda p, c, k: rar_generate(
-        rar, p, c, k, guidance_scale=args.guidance_scale,
-        randomize_temperature=args.temperature,
-        guidance_scale_pow=args.guidance_scale_pow))
+    if args.model == "maskgit":
+        from imagefolder_tpu.models.maskgit import (
+            MaskGIT, MaskGITConfig, maskgit_generate)
+
+        mg = MaskGIT(MaskGITConfig(
+            embed_dim=args.hidden, depth=args.depth, num_heads=args.heads,
+            image_seq_len=seq_len, codebook_size=margs.codebook_size,
+            condition_num_classes=args.num_classes, dtype_str="bfloat16"))
+
+        def gen(p, c, k):  # python decode loop; fwd passes jitted inside
+            return maskgit_generate(
+                mg, p, c, k, guidance_scale=args.guidance_scale,
+                guidance_decay=args.guidance_decay,
+                guidance_scale_pow=args.guidance_scale_pow,
+                randomize_temperature=args.temperature,
+                num_sample_steps=args.num_sample_steps)
+    else:
+        rar = RAR(RARConfig(embed_dim=args.hidden, depth=args.depth,
+                            num_heads=args.heads, image_seq_len=seq_len,
+                            codebook_size=margs.codebook_size,
+                            condition_num_classes=args.num_classes,
+                            dtype_str="bfloat16"))
+        gen = jax.jit(lambda p, c, k: rar_generate(
+            rar, p, c, k, guidance_scale=args.guidance_scale,
+            randomize_temperature=args.temperature,
+            guidance_scale_pow=args.guidance_scale_pow))
     dec = jax.jit(lambda p, t: vae.apply({"params": p}, t,
                                          method=VQModel.decode_tokens))
 

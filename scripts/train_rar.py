@@ -246,6 +246,7 @@ def _train_maskgit(args, batches, seq_len, logger):
     cfg = MaskGITConfig(embed_dim=args.hidden, depth=args.depth,
                         num_heads=args.heads, image_seq_len=seq_len,
                         codebook_size=args.codebook_size,
+                        condition_num_classes=args.num_classes,
                         dtype_str="bfloat16")
     model = MaskGIT(cfg)
     key = jax.random.PRNGKey(0)
