@@ -72,7 +72,11 @@ def write_yaml(path: Path, **kv):
     path.write_text("\n".join(lines) + "\n")
 
 
-def run_stage(name: str, cmd: list, logdir: Path, timeout: int = 2400):
+STAGE_TIMEOUT = 2400
+
+
+def run_stage(name: str, cmd: list, logdir: Path, timeout: int = 0):
+    timeout = timeout or STAGE_TIMEOUT
     log = logdir / f"{name}.log"
     print(f"[e2e] {name}: {' '.join(map(str, cmd))}")
     t0 = time.time()
@@ -152,7 +156,11 @@ def main():
     ap.add_argument("--var_epochs", type=int, default=75)
     ap.add_argument("--rar_steps", type=int, default=600)
     ap.add_argument("--num_samples", type=int, default=32)
+    ap.add_argument("--stage_timeout", type=int, default=2400,
+                    help="per-stage wall clock cap, seconds")
     args = ap.parse_args()
+    global STAGE_TIMEOUT
+    STAGE_TIMEOUT = args.stage_timeout
 
     wd = Path(args.workdir).absolute()
     ds = wd / "ds"
@@ -171,13 +179,14 @@ def main():
         epochs=args.tok_epochs, global_batch_size=16,
         lr=8e-4, lr_scheduler="none", disc_type="patchgan",
         disc_epoch_start=args.tok_epochs // 3, disc_adaptive_weight="true",
-        ema="true", save_best="false", ckpt_every=1_000_000, log_every=40,
+        ema="true", save_best="false", ckpt_every=1_000_000, log_every=8,
     )
     vq_yaml, msvq_yaml = wd / "vq.yaml", wd / "msvq.yaml"
+    pyramid = [p for p in (1, 2, 3, 4, 6, 8, 10, 13) if p < grid] + [grid]
     write_yaml(vq_yaml, cloud_save_path=wd / "tok_vq",
                v_patch_nums=[grid], product_quant=1, **common)
     write_yaml(msvq_yaml, cloud_save_path=wd / "tok_msvq",
-               v_patch_nums=[1, 2, 3, 4, 6, grid], product_quant=2, **common)
+               v_patch_nums=pyramid, product_quant=2, **common)
 
     S = REPO / "scripts"
     summary = {"stages": {}, "config": vars(args)}
