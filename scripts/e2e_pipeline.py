@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import subprocess
 import sys
 import time
@@ -189,7 +190,8 @@ def main():
                v_patch_nums=pyramid, product_quant=2, **common)
 
     S = REPO / "scripts"
-    summary = {"stages": {}, "config": vars(args)}
+    summary = {"stages": {}, "config": vars(args),
+               "platform": os.environ.get("JAX_PLATFORMS", "axon (default)")}
     summary["stages"]["train_tok_vq"] = run_stage(
         "train_tok_vq", [S / "train_tokenizer.py", "--config", vq_yaml], logs)
     summary["stages"]["train_tok_msvq"] = run_stage(
