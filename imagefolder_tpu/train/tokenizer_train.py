@@ -232,7 +232,11 @@ class TokenizerTrainer:
         """Periodic discriminator head re-initialization (reference
         DinoDisc.reinit, discriminator_dino.py:219-234 / xqgan_train.py:436):
         fresh head params (frozen trunk kept), fresh disc optimizer state."""
-        fresh = self.disc.init(rng, sample_imgs, train=False)
+        # jitted for the same reason as init(): one compile, not an eager
+        # per-primitive dispatch cascade over a remote-dispatch backend
+        fresh = jax.jit(self.disc.init,
+                        static_argnames=("train",))(rng, sample_imgs,
+                                                    train=False)
         fresh_params = fresh["params"]
         if isinstance(self.disc, DinoDisc):
             new_disc = dict(state.disc_params)
