@@ -159,15 +159,23 @@ WATCHDOG_S = 1500  # a wedged tunnel BLOCKS inside native code on the first
 #                    so the driver still records one valid line.
 
 
+_PRINT_LOCK = threading.Lock()  # exactly-one-JSON-line contract: whoever
+#                                 takes the lock first prints; the other side
+#                                 sees `done` set and stays silent
+
+
 def _arm_watchdog(done: threading.Event):
     def fire():
         if done.wait(WATCHDOG_S):
             return
-        result = dict(RESULT_TEMPLATE)
-        result["error"] = (f"no result after {WATCHDOG_S}s — backend hung "
-                           "(device op blocked in native code)")
-        print(json.dumps(result), flush=True)
-        os._exit(0)
+        with _PRINT_LOCK:
+            if done.is_set():  # main finished at the deadline boundary
+                return
+            result = dict(RESULT_TEMPLATE)
+            result["error"] = (f"no result after {WATCHDOG_S}s — backend "
+                               "hung (device op blocked in native code)")
+            print(json.dumps(result), flush=True)
+            os._exit(0)
 
     threading.Thread(target=fire, daemon=True).start()
 
@@ -188,8 +196,9 @@ def main():
     except Exception as e:
         _log(traceback.format_exc())
         result["error"] = f"{type(e).__name__}: {e}"
-    done.set()
-    print(json.dumps(result), flush=True)
+    with _PRINT_LOCK:
+        done.set()
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

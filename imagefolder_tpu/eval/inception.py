@@ -304,14 +304,10 @@ def validate_inception_checkpoint(ckpt_path, *, write_marker=True):
     variables = convert_inception_checkpoint(sd)
 
     # --- coverage both ways, shape-exact ---
-    def leaves_with_path(tree, prefix=()):
-        out = {}
-        for k, v in tree.items():
-            if isinstance(v, Mapping):
-                out.update(leaves_with_path(v, prefix + (k,)))
-            else:
-                out["/".join(prefix + (k,))] = v  # array or ShapeDtypeStruct
-        return out
+    def leaves_with_path(tree):
+        from flax.traverse_util import flatten_dict
+
+        return {"/".join(k): v for k, v in flatten_dict(tree).items()}
 
     got = leaves_with_path(variables["params"])
     got.update({"bs/" + k: v

@@ -233,10 +233,12 @@ class TokenizerTrainer:
         DinoDisc.reinit, discriminator_dino.py:219-234 / xqgan_train.py:436):
         fresh head params (frozen trunk kept), fresh disc optimizer state."""
         # jitted for the same reason as init(): one compile, not an eager
-        # per-primitive dispatch cascade over a remote-dispatch backend
-        fresh = jax.jit(self.disc.init,
-                        static_argnames=("train",))(rng, sample_imgs,
-                                                    train=False)
+        # per-primitive dispatch cascade over a remote-dispatch backend.
+        # Cached on self so periodic reinits reuse the compiled program.
+        if not hasattr(self, "_jit_disc_init"):
+            self._jit_disc_init = jax.jit(self.disc.init,
+                                          static_argnames=("train",))
+        fresh = self._jit_disc_init(rng, sample_imgs, train=False)
         fresh_params = fresh["params"]
         if isinstance(self.disc, DinoDisc):
             new_disc = dict(state.disc_params)

@@ -98,7 +98,10 @@ class ProgressiveController:
                  prog_wp_it: float = 20.0):
         self.num_stages = num_stages
         self.pg = pg
-        self.pg0 = pg0
+        # the reference default pg0=4 assumes the 10-scale pyramid; on a
+        # shorter one an unclamped pg0 would index past begin_ends (and
+        # make the stage schedule walk downward)
+        self.pg0 = max(0, min(pg0, num_stages - 1))
         self.prog_wp_it = max(prog_wp_it, 1.0)
         self.prog_it = 0
         self.last_prog_si = -1

@@ -75,8 +75,16 @@ class CheckpointManager:
         step = step if step is not None else self.latest_step()
         if step is None:
             return None, 0
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(state_template))
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(state_template))
+        except Exception as e:
+            raise RuntimeError(
+                f"checkpoint at step {step} does not match the current "
+                "train-state tree — optimizer/state structure may have "
+                "changed across code versions (e.g. the optax chain). "
+                "Restore with the code revision that wrote it, or start "
+                "fresh without --resume.") from e
         return restored, step
 
     def save_data_state(self, step: int, state: Optional[bytes]):

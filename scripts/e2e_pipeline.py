@@ -82,9 +82,12 @@ def run_stage(name: str, cmd: list, logdir: Path, timeout: int = 0):
     print(f"[e2e] {name}: {' '.join(map(str, cmd))}")
     t0 = time.time()
     with open(log, "w") as f:
-        rc = subprocess.run([sys.executable] + [str(c) for c in cmd],
-                            stdout=f, stderr=subprocess.STDOUT,
-                            cwd=REPO, timeout=timeout).returncode
+        try:
+            rc = subprocess.run([sys.executable] + [str(c) for c in cmd],
+                                stdout=f, stderr=subprocess.STDOUT,
+                                cwd=REPO, timeout=timeout).returncode
+        except subprocess.TimeoutExpired:
+            rc = f"timeout({timeout}s)"
     dt = time.time() - t0
     tail = "".join(log.read_text().splitlines(keepends=True)[-8:])
     print(f"[e2e] {name}: rc={rc} in {dt:.0f}s\n{tail}")
@@ -129,7 +132,9 @@ def grade_samples(npz_path: Path, ds_root: Path, classes: int,
         "class_fidelity": float((pool_lbl[nn] == req).mean()),
         "mean_nn_rmse": float(ds.min(-1).mean()),
         "per_class_fidelity": [
-            float((pool_lbl[nn[req == c]] == c).mean()) for c in range(classes)
+            float((pool_lbl[nn[req == c]] == c).mean())
+            if (req == c).any() else None
+            for c in range(classes)
         ],
     }
 

@@ -294,9 +294,9 @@ def main():
     args = ap.parse_args()
 
     if args.inception_ckpt is not None:
-        ok = check_inception_gate(args.inception_ckpt)
+        check_inception_gate(args.inception_ckpt)  # raises on any failure
         if not (args.config and args.ckpt):
-            return 0 if ok else 1
+            return 0
     elif not (args.config and args.ckpt):
         ap.error("pass --config + --ckpt (tokenizer check) and/or "
                  "--inception_ckpt")
