@@ -6,6 +6,8 @@ Subcommands (``python scripts/perf.py <probe>``):
              (full recon, 12-block stack, GEMM-only floor, attention kernels)
   block      transformer-block ablations (attention impl, gelu, LayerNorm)
   mlp        MLP sub-layer ablations (gelu variants, fused pallas MLP)
+  sampling   serving-path decode throughput (VAR 10-stage CFG sampling,
+             RAR 256-step KV-cached CFG decode, bf16 cache)
 
 All timings use the chained-iteration methodology from bench.py: N steps
 inside one jit via ``lax.fori_loop`` with the output threaded through the
@@ -295,10 +297,135 @@ def probe_mlp():
                    functools.partial(pall12, blk=blk), w1, b1, w2, b2, x2)
 
 
+# --------------------------- sampling probe --------------------------- #
+
+def probe_sampling(part="all"):
+    """Serving-path decode throughput, chained (RPC-free): VAR-d16 PQ2
+    10-stage CFG sampling to images (inference.py:96-116 equivalent) and
+    RAR-B 256-step KV-cached CFG decode to tokens (rar.py:408-456
+    equivalent, bf16 cache). Replaces the earlier python-loop 'incl RPC'
+    timings, which measured dispatch latency on top of compute.
+
+    The VAR chain unrolls its 10 stages per iteration — compiling the long
+    chain over the remote tunnel takes minutes, so VAR uses iters=2 and the
+    probe is splittable (``--part var`` / ``--part rar``)."""
+    key = jax.random.PRNGKey(0)
+
+    def _log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    def timed_sampling(name, sample_fn, batch, iters=3):
+        # sample_fn(key) -> array; iterations chain by folding a sampled
+        # value back into the key so XLA cannot hoist or parallelize them.
+        def chained(n):
+            @jax.jit
+            def fn(k):
+                def body(i, carry):
+                    kk, acc = carry
+                    out = sample_fn(kk)
+                    tok = out.ravel()[0].astype(jnp.int32)
+                    return jax.random.fold_in(kk, tok), acc + tok
+
+                _, acc = jax.lax.fori_loop(0, n, body, (k, jnp.int32(0)))
+                return acc
+
+            return fn
+
+        short, long_ = chained(1), chained(1 + iters)
+        _log(f"[sampling] compiling {name} (short)")
+        int(short(key))
+        _log(f"[sampling] compiling {name} (long, {1 + iters} iters)")
+        int(long_(key))
+
+        def t(fn):
+            t0 = time.time()
+            int(fn(key))
+            return time.time() - t0
+
+        t1 = min(t(short) for _ in range(3))
+        t2 = min(t(long_) for _ in range(3))
+        dt = max(t2 - t1, 1e-9) / iters
+        print(f"{name:52s} {dt * 1e3:8.1f} ms/call {batch / dt:8.1f} img/s",
+              flush=True)
+
+    # ---- VAR-d16 PQ2: flagship ViT-S tokenizer, 10-stage CFG decode ----
+    if part in ("all", "var"):
+        _probe_sampling_var(key, timed_sampling, _log)
+    if part in ("all", "rar"):
+        _probe_sampling_rar(key, timed_sampling, _log)
+
+
+def _probe_sampling_var(key, timed_sampling, _log):
+    from imagefolder_tpu.models.tokenizer import ModelArgs
+    from imagefolder_tpu.train.var_train import (
+        VARTrainConfig,
+        VARTrainer,
+        build_vae_var,
+        var_sample,
+    )
+
+    margs = ModelArgs(
+        codebook_size=4096, codebook_embed_dim=32,
+        v_patch_nums=(1, 1, 2, 3, 3, 4, 5, 6, 8, 11),
+        enc_type="dinov2", dec_type="dinov2",
+        encoder_model="vit_small_patch14_dinov2.lvd142m",
+        decoder_model="vit_small_patch14_dinov2.lvd142m",
+        semantic_guide="none", detail_guide="none",
+        num_latent_tokens=121, product_quant=2, abs_pos_embed=True,
+        image_size=256, dtype_str="bfloat16")
+    vae, var = build_vae_var(margs, depth=16, dtype_str="bfloat16")
+    imgs2 = jax.random.uniform(key, (2, 256, 256, 3), minval=-1, maxval=1)
+    vae_params = jax.jit(
+        lambda k, xx: vae.init(k, xx, train=False)["params"])(key, imgs2)
+    trainer = VARTrainer(vae, var, VARTrainConfig(total_steps=10,
+                                                  warmup_steps=2))
+    _log("[sampling] VAR init (jitted)")
+    var_params = jax.jit(trainer.init)(key, vae_params, imgs2).params
+
+    for b in (8, 32):
+        labels = jnp.arange(b, dtype=jnp.int32) % 1000
+        timed_sampling(
+            f"VAR-d16 PQ2 10-stage CFG sampling -> image (B={b})",
+            lambda k, lb=labels: var_sample(
+                var, var_params, vae, vae_params, lb, k,
+                cfg_scale=1.5, top_k=900, top_p=0.96) * 255.0,
+            b, iters=2)
+
+
+def _probe_sampling_rar(key, timed_sampling, _log):
+    from imagefolder_tpu.models.rar import RAR, RARConfig, rar_generate
+    from imagefolder_tpu.train.rar_train import RARTrainConfig, RARTrainer
+
+    rcfg = RARConfig(embed_dim=768, depth=24, num_heads=16, mlp_ratio=4.0,
+                     image_seq_len=256, codebook_size=4096,
+                     condition_num_classes=1000, dtype_str="bfloat16")
+    rar = RAR(rcfg)
+    tok2 = jax.random.randint(key, (2, 256), 0, 4096, jnp.int32)
+    rtr = RARTrainer(rar, RARTrainConfig(total_steps=10, warmup_steps=2))
+    _log("[sampling] RAR init (jitted)")
+    rar_params = jax.jit(rtr.init)(key, tok2,
+                                   jnp.zeros((2,), jnp.int32)).params
+
+    for b in (8, 64):
+        cond = jnp.arange(b, dtype=jnp.int32) % 1000
+        timed_sampling(
+            f"RAR-B 256-step CFG decode -> tokens (B={b}, bf16 KV)",
+            lambda k, c=cond: rar_generate(
+                rar, rar_params, c, k, guidance_scale=16.0,
+                randomize_temperature=1.02, guidance_scale_pow=2.75,
+                cache_dtype=rcfg.dtype),
+            b)
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("probe", choices=["pipeline", "block", "mlp"])
+    ap.add_argument("probe", choices=["pipeline", "block", "mlp", "sampling"])
+    ap.add_argument("--part", choices=["all", "var", "rar"], default="all",
+                    help="sampling probe only: run one workload's leg")
     args = ap.parse_args()
+    if args.probe == "sampling":
+        probe_sampling(args.part)
+        return
     {"pipeline": probe_pipeline, "block": probe_block,
      "mlp": probe_mlp}[args.probe]()
 
