@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["InceptionV3", "convert_inception_checkpoint",
-           "validate_inception_checkpoint", "inception_gate_status"]
+           "validate_inception_checkpoint", "inception_gate_status",
+           "fabricate_inception_state_dict"]
 
 
 class BasicConv2d(nn.Module):
@@ -214,6 +215,56 @@ def convert_inception_checkpoint(sd: Mapping) -> dict:
             elif leaf == "running_var":
                 put(stats, (block, *sub, "bn", "var"), _np(v))
     return {"params": params, "batch_stats": stats}
+
+
+def fabricate_inception_state_dict(seed: int = 0) -> dict:
+    """Complete torch-style pytorch-fid state dict fabricated by inverting
+    the converter mapping over the model's eval_shape tree.
+
+    TEST/DEMO FIXTURE ONLY: the weights are random, so every FID computed
+    through them is meaningless — this exists to drive the full rFID/gFID
+    plumbing (converter -> InceptionV3 -> statistics -> Frechet) offline,
+    where the real pytorch-fid asset cannot be downloaded (zero egress)."""
+    from collections.abc import Mapping as _Mapping
+
+    import jax
+
+    model = InceptionV3()
+    template = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                              jnp.zeros((1, 299, 299, 3)))
+    rng = np.random.default_rng(seed)
+    sd = {}
+
+    def emit(shape, kind):
+        if kind == "kernel":
+            return rng.normal(0, 0.05, shape).astype(np.float32)
+        if kind in ("scale", "var"):
+            return rng.uniform(0.5, 1.5, shape).astype(np.float32)
+        return rng.normal(0, 0.1, shape).astype(np.float32)
+
+    def walk(tree, prefix):
+        for k, v in tree.items():
+            if isinstance(v, _Mapping):
+                walk(v, prefix + [k])
+                continue
+            shape = tuple(v.shape)
+            if prefix == ["fc"]:
+                if k == "kernel":
+                    sd["fc.weight"] = emit((shape[1], shape[0]), "kernel")
+                else:
+                    sd["fc.bias"] = emit(shape, "bias")
+            elif prefix[-1] == "conv":  # (kh,kw,in,out) -> (out,in,kh,kw)
+                key = ".".join(prefix[:-1] + ["conv", "weight"])
+                kh, kw, cin, cout = shape
+                sd[key] = emit((cout, cin, kh, kw), "kernel")
+            elif prefix[-1] == "bn":
+                name = {"scale": "weight", "bias": "bias",
+                        "mean": "running_mean", "var": "running_var"}[k]
+                sd[".".join(prefix[:-1] + ["bn", name])] = emit(shape, k)
+
+    walk(template["params"], [])
+    walk(template["batch_stats"], [])
+    return sd
 
 
 # ----------------------- real-weight validation gate ----------------------- #

@@ -387,12 +387,17 @@ class TokenizerTrainer:
             state.usage_ema, hits, state.record_hit)
         tokens_per_scale = float(
             imgs.shape[0] * self.model_cfg.num_latent_tokens)
-        usage = jnp.mean(usage_percent(
-            new_usage, tokens_per_scale, self.model_cfg.codebook_size))
+        # (P, S) per-branch-per-scale usage%: the reference logs codebook
+        # usage per scale as a first-class metric (quant.py:137-143)
+        usage_ps = usage_percent(
+            new_usage, tokens_per_scale, self.model_cfg.codebook_size)
+        usage = jnp.mean(usage_ps)
 
         metrics = dict(aux, gen_loss=gen_loss, disc_loss=d_loss,
                        logits_real=lr_m, logits_fake=lf_m,
-                       codebook_usage=usage, disc_weight=disc_w)
+                       codebook_usage=usage,
+                       codebook_usage_per_scale=usage_ps,
+                       disc_weight=disc_w)
 
         new_state = TokenizerTrainState(
             params=new_params, opt_state=new_opt, ema_params=new_ema,

@@ -17,6 +17,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
+# the package-level generator factory lives in models/__init__.py (reference
+# models/__init__.py:14-65); re-exported here for the train-module namespace
+from imagefolder_tpu.models import build_vae_var
 from imagefolder_tpu.models.tokenizer import ModelArgs, VQModel
 from imagefolder_tpu.models.var import VAR, VARConfig
 from imagefolder_tpu.ops.sampling import sample_with_top_k_top_p
@@ -28,28 +31,6 @@ from imagefolder_tpu.train.optim import (
 
 __all__ = ["build_vae_var", "VARTrainConfig", "VARTrainState", "VARTrainer",
            "ProgressiveController", "var_sample"]
-
-
-def build_vae_var(model_args: ModelArgs, depth: int = 16, *,
-                  shared_aln: bool = False, attn_l2_norm: bool = True,
-                  cond_drop_rate: float = 0.1, num_classes: int = 1000,
-                  dtype_str: str = "float32"):
-    """Factory parity with reference models/__init__.py:14-65:
-    width = 64*depth, heads = depth, drop_path = 0.1 * depth/24."""
-    vae = VQModel(model_args)
-    var_cfg = VARConfig(
-        vocab_size=model_args.codebook_size * model_args.product_quant,
-        Cvae=model_args.codebook_embed_dim * model_args.product_quant,
-        product_quant=model_args.product_quant,
-        num_classes=num_classes,
-        depth=depth, embed_dim=depth * 64, num_heads=depth,
-        shared_aln=shared_aln, attn_l2_norm=attn_l2_norm,
-        cond_drop_rate=cond_drop_rate,
-        drop_path_rate=0.1 * depth / 24,
-        patch_nums=tuple(model_args.v_patch_nums),
-        dtype_str=dtype_str,
-    )
-    return vae, VAR(var_cfg)
 
 
 @dataclasses.dataclass
@@ -258,14 +239,33 @@ class VARTrainer:
         return VARTrainState(new_params, new_opt, state.vae_params, new_ema,
                              state.step + 1), metrics
 
-    def eval_step(self, state: VARTrainState, imgs, labels):
-        idx_P = self.vae.apply({"params": state.vae_params}, imgs,
+    @partial(jax.jit, static_argnums=(0,))
+    def eval_step(self, params, vae_params, imgs, labels):
+        """Validation step (reference eval_ep body, trainer.py:58-101):
+        val CE mean/tail and token-accuracy mean/tail with label_smooth=0,
+        averaged over PQ branches — returned as per-sample (B,) vectors so
+        the host loop (``eval/validation.var_eval_ep``) can slice padded
+        ragged batches exactly before the global average."""
+        idx_P = self.vae.apply({"params": vae_params}, imgs,
                                method=VQModel.img_to_idxBl)
         gt_BL = [jnp.concatenate(branch, axis=1) for branch in idx_P]
-        x_in = self.vae.apply({"params": state.vae_params}, idx_P,
+        x_in = self.vae.apply({"params": vae_params}, idx_P,
                               method=VQModel.idxBl_to_var_input)
-        logits = self.var.apply({"params": state.params}, labels, x_in)
-        return self._ce_and_acc(logits, gt_BL)
+        logits = self.var.apply({"params": params}, labels, x_in)
+        p = self.var.config.product_quant
+        v = logits.shape[-1] // p
+        out = {k: 0.0 for k in ("L_mean", "L_tail", "acc_mean", "acc_tail")}
+        for i, gt in enumerate(gt_BL):
+            lg = logits[..., i * v:(i + 1) * v].astype(jnp.float32)
+            logp = jax.nn.log_softmax(lg, axis=-1)
+            nll = -jnp.take_along_axis(logp, gt[..., None], axis=-1)[..., 0]
+            correct = (jnp.argmax(lg, axis=-1) == gt).astype(jnp.float32)
+            out["L_mean"] += jnp.mean(nll, axis=-1)
+            out["L_tail"] += jnp.mean(nll[:, -self.last_l:], axis=-1)
+            out["acc_mean"] += jnp.mean(correct, axis=-1) * 100.0
+            out["acc_tail"] += jnp.mean(correct[:, -self.last_l:],
+                                        axis=-1) * 100.0
+        return {k: val / p for k, val in out.items()}
 
 
 def var_sample(var: VAR, var_params, vae: VQModel, vae_params, label_B,

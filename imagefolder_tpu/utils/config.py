@@ -31,6 +31,7 @@ class RunConfig:
     save_best: bool = True
     ckpt_every: int = 10000
     log_every: int = 100
+    vis_every: int = 5000
     epochs: int = 200
     global_batch_size: int = 1024
     vq_model: str = "VQ-16"

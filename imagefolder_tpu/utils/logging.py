@@ -19,7 +19,24 @@ from typing import Optional
 import jax
 
 __all__ = ["create_logger", "MetricMeter", "MetricLogger", "Tracker",
-           "profile_trace"]
+           "flatten_metrics", "profile_trace"]
+
+
+def flatten_metrics(metrics: dict) -> dict:
+    """Host-float view of a device metrics dict. Array-valued entries — e.g.
+    the (P, S) per-scale codebook usage (reference logs usage per scale,
+    quant.py:137-143) — expand into indexed scalars (``key/i_j``)."""
+    import numpy as np
+
+    out = {}
+    for k, v in metrics.items():
+        a = np.asarray(v)
+        if a.ndim == 0:
+            out[k] = float(a)
+        else:
+            for idx in np.ndindex(a.shape):
+                out[f"{k}/" + "_".join(map(str, idx))] = float(a[idx])
+    return out
 
 
 def create_logger(log_dir: Optional[str] = None, name: str = "imagefolder_tpu"):
@@ -127,6 +144,16 @@ class Tracker:
         if self.tb is not None:
             for k, v in metrics.items():
                 self.tb.add_scalar(k, float(v), step)
+
+    def log_image(self, tag: str, img_uint8_hwc, step: int):
+        """Image grids (reference wandb.Image recon grids xqgan_train.py:513,
+        TensorboardLogger.log_image utils/misc.py:162-166)."""
+        if self.wandb is not None:
+            import wandb
+
+            self.wandb.log({tag: [wandb.Image(img_uint8_hwc)]}, step=step)
+        if self.tb is not None:
+            self.tb.add_image(tag, img_uint8_hwc, step, dataformats="HWC")
 
 
 @contextlib.contextmanager

@@ -3,9 +3,12 @@ original / reconstruction / difference panels, and generation grids."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 
-__all__ = ["recon_grid", "generation_grid", "to_uint8"]
+__all__ = ["recon_grid", "generation_grid", "scale_recon_grid", "to_uint8",
+           "save_png"]
 
 
 def to_uint8(img_pm1: np.ndarray) -> np.ndarray:
@@ -33,3 +36,23 @@ def generation_grid(samples_pm1, ncol: int = 8) -> np.ndarray:
     n = (len(s) // ncol) * ncol
     rows = [s[i:i + ncol] for i in range(0, n, ncol)]
     return to_uint8(_grid(rows))
+
+
+def scale_recon_grid(imgs_pm1, recons_per_scale, ncol: int = 4) -> np.ndarray:
+    """Per-scale recon panel (reference xqgan_train.py:504-513: make_grid of
+    ``recons_with_scale + [imgs]``, nrow=4) — one row per quantizer scale,
+    the originals as the last row."""
+    stack = np.concatenate(
+        [np.asarray(r)[:ncol] for r in recons_per_scale]
+        + [np.asarray(imgs_pm1)[:ncol]])
+    return generation_grid(np.clip(stack, -1, 1), ncol=ncol)
+
+
+def save_png(img_uint8_hwc: np.ndarray, path) -> None:
+    """Write an (H, W, 3) uint8 array as PNG (reference saves previews via
+    PIL, train_utils.py:944-948)."""
+    from PIL import Image
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(np.asarray(img_uint8_hwc)).save(path)

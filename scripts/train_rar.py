@@ -5,6 +5,13 @@ Fast path: pretokenized JSONL (from scripts/pretokenize.py). On-the-fly
 tokenization: pass --config + --vq_ckpt + --data_path instead of --jsonl
 (reference train_utils.py:676-686).
 
+Periodic preview generation (reference ``generate_images``,
+``utils/train_utils.py:769-794,914-951``): every ``--generate_every`` steps
+the EMA weights sample an 8-image class grid, decoded by the tokenizer to a
+PNG under ``<output>/train_generated_images/`` and logged to wandb/TB.
+Previews need the tokenizer — pass --config/--vq_ckpt alongside --jsonl (the
+reference always constructs it, ``scripts/train_rar.py:94``).
+
 Usage:
     python scripts/train_rar.py --jsonl pretokenized.jsonl [--model rar]
     python scripts/train_rar.py --config configs/RobustTok.yaml \
@@ -118,13 +125,23 @@ def main():
     ap.add_argument("--total_steps", type=int, default=250_000)
     ap.add_argument("--ckpt_every", type=int, default=10_000)
     ap.add_argument("--log_every", type=int, default=100)
+    ap.add_argument("--generate_every", type=int, default=0,
+                    help="steps between EMA preview grids (0 = off; "
+                         "reference experiment.generate_every)")
+    ap.add_argument("--guidance_scale", type=float, default=3.0)
+    ap.add_argument("--guidance_scale_pow", type=float, default=2.75)
+    ap.add_argument("--temperature", type=float, default=2.0,
+                    help="randomize_temperature for previews "
+                         "(train_utils.py:925)")
+    ap.add_argument("--wandb", action="store_true")
     from imagefolder_tpu.parallel.mesh import add_distributed_args, init_from_args
 
     add_distributed_args(ap)
     args = ap.parse_args()
     init_from_args(args)
 
-    from imagefolder_tpu.models.rar import RAR, RARConfig
+    from imagefolder_tpu.models import build_rar
+    from imagefolder_tpu.models.rar import rar_generate
     from imagefolder_tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from imagefolder_tpu.train.rar_train import (
         RARTrainConfig,
@@ -132,11 +149,12 @@ def main():
         get_rar_random_ratio,
     )
     from imagefolder_tpu.utils.ckpt import CheckpointManager
-    from imagefolder_tpu.utils.logging import MetricLogger, create_logger
+    from imagefolder_tpu.utils.logging import MetricLogger, Tracker, create_logger
 
     assert args.batch_size % jax.process_count() == 0
     local_bs = args.batch_size // jax.process_count()
     logger = create_logger(args.output)
+    tok = _load_tokenizer(args) if (args.config and args.vq_ckpt) else None
     if args.jsonl:
         data = JsonlTokens(args.jsonl)
         seq_len = len(data.rows[0]["tokens"])
@@ -145,19 +163,21 @@ def main():
                                shard_count=jax.process_count())
         logger.info(f"{len(data)} pretokenized rows, seq_len={seq_len}")
     else:
-        assert args.config and args.vq_ckpt and args.data_path, \
+        assert tok is not None and args.data_path, \
             "on-the-fly mode needs --config --vq_ckpt --data_path"
-        batches, seq_len, codebook_size = _online_tokens(args)
+        batches, seq_len, codebook_size = _online_tokens(args, tok)
         args.codebook_size = codebook_size
         logger.info(f"on-the-fly tokenization, seq_len={seq_len}")
+    if args.generate_every and tok is None:
+        logger.info("previews disabled: --generate_every needs the tokenizer "
+                    "(--config + --vq_ckpt)")
+    tracker = Tracker(use_wandb=args.wandb, log_dir=args.output, use_tb=True)
 
     if args.model == "maskgit":
-        return _train_maskgit(args, batches, seq_len, logger)
-    rar = RAR(RARConfig(embed_dim=args.hidden, depth=args.depth,
-                        num_heads=args.heads, image_seq_len=seq_len,
-                        codebook_size=args.codebook_size,
-                        condition_num_classes=args.num_classes,
-                        dtype_str="bfloat16"))
+        return _train_maskgit(args, batches, seq_len, logger, tok, tracker)
+    rar = build_rar(seq_len=seq_len, codebook_size=args.codebook_size,
+                    hidden=args.hidden, depth=args.depth, heads=args.heads,
+                    num_classes=args.num_classes, dtype_str="bfloat16")
     tcfg = RARTrainConfig(total_steps=args.total_steps,
                           warmup_steps=args.total_steps // 4,
                           random_ratio_anneal_end=args.total_steps // 2)
@@ -175,6 +195,14 @@ def main():
         logger.info(f"resumed at {start}")
 
     mlog = MetricLogger(logger, args.log_every)
+    gen_fn = None
+    if tok is not None and args.generate_every:
+        # KV cache in the activation dtype (see sample_rar.py)
+        gen_fn = jax.jit(lambda p, c, k: rar_generate(
+            rar, p, c, k, guidance_scale=args.guidance_scale,
+            randomize_temperature=args.temperature,
+            guidance_scale_pow=args.guidance_scale_pow,
+            cache_dtype=rar.config.dtype))
     it = batches
     if start and hasattr(it, "set_state") and ckpt.apply_data_state(
             start, it, log=logger.info):
@@ -189,30 +217,74 @@ def main():
             state, batch["t"], batch["l"], jax.random.fold_in(key, step),
             ratio)
         if (step + 1) % args.log_every == 0:
-            mlog.update(**{k: float(v) for k, v in metrics.items()},
-                        random_ratio=ratio)
+            host = {k: float(v) for k, v in metrics.items()}
+            mlog.update(**host, random_ratio=ratio)
             mlog.log(step + 1, args.total_steps)
+            tracker.log(dict(host, random_ratio=ratio), step + 1)
         if (step + 1) % args.ckpt_every == 0:
             ckpt.save(step + 1, jax.device_get(state))
             if hasattr(it, "get_state"):
                 ckpt.save_data_state(step + 1, it.get_state())
+        if gen_fn is not None and (step + 1) % args.generate_every == 0:
+            # EMA weights sample the preview (train_utils.py:777-780)
+            _generate_preview(gen_fn, tok, state.ema_params, args,
+                              step + 1, tracker, logger)
     ckpt.save(args.total_steps, jax.device_get(state))
     ckpt.wait()
 
 
-def _online_tokens(args):
+def _load_tokenizer(args):
+    """Frozen tokenizer for previews / on-the-fly tokenization (reference
+    create_pretrained_tokenizer, utils/train_utils.py:79-98)."""
+    from imagefolder_tpu.models.tokenizer import VQModel
+    from imagefolder_tpu.utils.config import load_tokenizer_config
+    from scripts.pretokenize import _load_params
+
+    margs, _, _ = load_tokenizer_config(args.config)
+    model = VQModel(margs)
+    params = _load_params(args.vq_ckpt, model, margs)
+    return model, params, margs
+
+
+def _generate_preview(gen_fn, tok, gen_params, args, step, tracker, logger):
+    """Preview grid from the EMA weights (reference generate_images,
+    utils/train_utils.py:914-951): generate 8 class-conditioned samples,
+    decode with the tokenizer, save PNG + log the image."""
+    import jax
+    import numpy as np
+
+    from imagefolder_tpu.models.tokenizer import VQModel
+    from imagefolder_tpu.utils.viz import generation_grid, save_png
+
+    if jax.process_index() != 0:
+        return
+    vae, vae_params, _ = tok
+    if jax.process_count() > 1:
+        gen_params = jax.device_get(gen_params)
+    if not hasattr(_generate_preview, "_dec"):
+        _generate_preview._dec = jax.jit(lambda p, t: vae.apply(
+            {"params": p}, t, method=VQModel.decode_tokens))
+    lbls = jnp.asarray(np.random.default_rng(0).choice(
+        args.num_classes, 8).astype(np.int32))
+    toks = gen_fn(gen_params, lbls, jax.random.PRNGKey(step))
+    imgs = _generate_preview._dec(vae_params, toks)  # [-1, 1]
+    grid = generation_grid(np.asarray(imgs), ncol=8)
+    out = (Path(args.output) / "train_generated_images"
+           / f"{step:08d}_s-generated.png")
+    save_png(grid, out)
+    tracker.log_image("Train Generated", grid, step)
+    logger.info(f"preview grid -> {out}")
+
+
+def _online_tokens(args, tok):
     """On-the-fly tokenization stream (reference train_utils.py:676-686)."""
     import jax
     import jax.numpy as jnp
 
     from imagefolder_tpu.data.imagenet import make_dataloader
     from imagefolder_tpu.models.tokenizer import VQModel
-    from imagefolder_tpu.utils.config import load_tokenizer_config
-    from scripts.pretokenize import _load_params
 
-    margs, _, run = load_tokenizer_config(args.config)
-    model = VQModel(margs)
-    params = _load_params(args.vq_ckpt, model, margs)
+    model, params, margs = tok
     enc = jax.jit(lambda p, x: model.apply({"params": p}, x,
                                            method=VQModel.encode_to_tokens))
     seq_len = margs.num_latent_tokens * margs.product_quant
@@ -231,24 +303,23 @@ def _online_tokens(args):
     return gen(), seq_len, margs.codebook_size
 
 
-def _train_maskgit(args, batches, seq_len, logger):
+def _train_maskgit(args, batches, seq_len, logger, tok=None, tracker=None):
     """MaskGIT masked-modeling loop (reference model_type='maskgit')."""
     import jax
     import jax.numpy as jnp
     import optax
 
+    from imagefolder_tpu.models import build_maskgit
     from imagefolder_tpu.models.maskgit import (
-        MaskGIT, MaskGITConfig, mask_input_tokens, mlm_loss)
-    from imagefolder_tpu.parallel.mesh import make_mesh, replicate
+        mask_input_tokens, maskgit_generate, mlm_loss)
     from imagefolder_tpu.utils.ckpt import CheckpointManager
     from imagefolder_tpu.utils.logging import MetricLogger
 
-    cfg = MaskGITConfig(embed_dim=args.hidden, depth=args.depth,
-                        num_heads=args.heads, image_seq_len=seq_len,
-                        codebook_size=args.codebook_size,
-                        condition_num_classes=args.num_classes,
-                        dtype_str="bfloat16")
-    model = MaskGIT(cfg)
+    model = build_maskgit(seq_len=seq_len, codebook_size=args.codebook_size,
+                          hidden=args.hidden, depth=args.depth,
+                          heads=args.heads, num_classes=args.num_classes,
+                          dtype_str="bfloat16")
+    cfg = model.config
     key = jax.random.PRNGKey(0)
     toks0 = jnp.zeros((2, seq_len), jnp.int32)
     params = model.init({"params": key}, toks0, jnp.zeros((2,), jnp.int32),
@@ -271,6 +342,15 @@ def _train_maskgit(args, batches, seq_len, logger):
         upd, opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, upd), opt, loss, acc
 
+    gen_fn = None
+    if tok is not None and args.generate_every:
+        def gen_fn(p, c, k):  # python decode loop; fwd passes jitted inside
+            return maskgit_generate(
+                model, p, c, k, guidance_scale=args.guidance_scale,
+                guidance_decay="constant",
+                guidance_scale_pow=args.guidance_scale_pow,
+                randomize_temperature=args.temperature, num_sample_steps=8)
+
     ckpt = CheckpointManager(args.output)
     mlog = MetricLogger(logger, args.log_every)
     for step in range(args.total_steps):
@@ -281,8 +361,14 @@ def _train_maskgit(args, batches, seq_len, logger):
         if (step + 1) % args.log_every == 0:
             mlog.update(loss=float(loss), correct_tokens=float(acc))
             mlog.log(step + 1, args.total_steps)
+            if tracker is not None:
+                tracker.log({"loss": float(loss),
+                             "correct_tokens": float(acc)}, step + 1)
         if (step + 1) % args.ckpt_every == 0:
             ckpt.save(step + 1, jax.device_get({"params": params}))
+        if gen_fn is not None and (step + 1) % args.generate_every == 0:
+            _generate_preview(gen_fn, tok, params, args, step + 1,
+                              tracker, logger)
     ckpt.save(args.total_steps, jax.device_get({"params": params}))
     ckpt.wait()
 

@@ -7,8 +7,16 @@ Usage:
 
 One YAML schema (identical keys to the reference configs/), one jitted
 GAN step, grain data loading, orbax checkpoints with best-by-val-metric,
-RobustTok perturbation annealing, optional val rFID when Inception weights
-are supplied (--inception_ckpt, a pytorch-fid checkpoint).
+RobustTok perturbation annealing.
+
+In-training evaluation (reference parity):
+* with ``--inception_ckpt`` (a pytorch-fid checkpoint): full-val-split rFID
+  with the uint8 clamp protocol every ``ckpt_every`` and best-checkpoint by
+  rFID (``xqgan_train.py:516-569``, clamp at ``:524-557``);
+* without weights: a full-val PSNR proxy gates best-ckpt instead (the
+  reference simply cannot save_best without its TF graph asset);
+* per-scale recon grids every ``vis_every`` steps to wandb/TB + PNG
+  (``xqgan_train.py:504-513``), per-scale codebook-usage%% scalars.
 """
 
 from __future__ import annotations
@@ -46,6 +54,11 @@ def main():
     ap.add_argument("--wandb", action="store_true")
     ap.add_argument("--profile_steps", type=int, default=0,
                     help="capture a jax.profiler trace for N early steps")
+    ap.add_argument("--val_batch_size", type=int, default=32,
+                    help="per-host val batch for the rFID/PSNR loop")
+    ap.add_argument("--val_batches", type=int, default=0,
+                    help="cap val batches (0 = full val split, the "
+                         "reference protocol)")
     ap.add_argument("overrides", nargs="*")
     from imagefolder_tpu.parallel.mesh import add_distributed_args, init_from_args
 
@@ -54,12 +67,18 @@ def main():
     init_from_args(args)
 
     from imagefolder_tpu.data.imagenet import device_prefetch, make_dataloader
-    from imagefolder_tpu.eval.psnr_ssim import psnr, ssim
+    from imagefolder_tpu.models.tokenizer import VQModel
     from imagefolder_tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from imagefolder_tpu.train.tokenizer_train import TokenizerTrainer
     from imagefolder_tpu.utils.ckpt import CheckpointManager
     from imagefolder_tpu.utils.config import load_tokenizer_config, parse_overrides
-    from imagefolder_tpu.utils.logging import MetricLogger, Tracker, create_logger
+    from imagefolder_tpu.utils.logging import (
+        MetricLogger,
+        Tracker,
+        create_logger,
+        flatten_metrics,
+    )
+    from imagefolder_tpu.utils.viz import save_png, scale_recon_grid
 
     margs, tcfg, run = load_tokenizer_config(args.config,
                                              parse_overrides(args.overrides))
@@ -104,6 +123,20 @@ def main():
     mlog = MetricLogger(logger, run.log_every)
     total_steps = tcfg.epochs * tcfg.steps_per_epoch
 
+    # jitted once and reused by every validation/vis call (a fresh jit
+    # wrapper per call would recompile each time over the remote backend)
+    rec_fn = jax.jit(lambda p, x: trainer.model.apply(
+        {"params": p}, x, method=VQModel.img_to_reconstructed_img))
+    vis_fn = jax.jit(lambda p, x: trainer.model.apply(
+        {"params": p}, x, last_one=False,
+        method=VQModel.img_to_reconstructed_img))
+    feat_fn = None
+    if args.inception_ckpt:
+        from scripts.evaluate_fid import load_inception
+
+        feat_fn = load_inception(args.inception_ckpt)
+        logger.info(f"val rFID enabled (Inception: {args.inception_ckpt})")
+
     step = start_step
     data_raw = iter(loader)
     if start_step and ckpt.apply_data_state(start_step, data_raw,
@@ -142,46 +175,71 @@ def main():
                 jax.profiler.stop_trace()
             step += 1
             if step % run.log_every == 0:
-                host = {k: float(v) for k, v in metrics.items()}
-                mlog.update(**host)
+                host = flatten_metrics(metrics)
+                mlog.update(**{k: v for k, v in host.items() if "/" not in k})
                 mlog.log(step, total_steps)
                 tracker.log(host, step)
+            if run.vis_every and step % run.vis_every == 0 and \
+                    jax.process_index() == 0:
+                # per-scale recon grid (xqgan_train.py:504-513)
+                x4 = np.asarray(b["image"][:4])
+                recons = vis_fn(_host_params(state), x4)
+                grid = scale_recon_grid(x4, [np.asarray(r) for r in recons])
+                save_png(grid, Path(run.cloud_save_path) / "vis"
+                         / f"recon_{step:07d}.png")
+                tracker.log_image("recon_images", grid, step)
             if step % run.ckpt_every == 0:
                 ckpt.save(step, jax.device_get(state))
                 ckpt.save_data_state(step, data_it.state)
                 if run.save_best and run.val_data_path:
-                    m = validate(trainer, state, run, margs, logger)
-                    ckpt.save_best(jax.device_get(state), m)
+                    name, value, objective = validate(
+                        trainer, state, run, margs, logger, rec_fn, feat_fn,
+                        val_batch=args.val_batch_size,
+                        max_batches=args.val_batches or None)
+                    tracker.log({name: value}, step)
+                    ckpt.save_best(jax.device_get(state), objective)
     ckpt.save(step, jax.device_get(state))
     ckpt.wait()
     logger.info(f"done in {(time.time() - t0) / 3600:.2f}h, {step} steps")
 
 
-def validate(trainer, state, run, margs, logger, max_batches: int = 20):
-    """Val PSNR/SSIM loop (rFID needs Inception weights; PSNR is the default
-    best-ckpt metric here — lower objective uses -psnr)."""
-    from imagefolder_tpu.data.imagenet import make_dataloader
-    from imagefolder_tpu.eval.psnr_ssim import psnr
-    from imagefolder_tpu.models.tokenizer import VQModel
+def _host_params(state):
+    """The live (non-EMA) model params, matching the reference's val/vis use
+    of ``vq_model.module`` (xqgan_train.py:506,526). Under multi-process the
+    train state lives on the global mesh; eval runs per-host on a local copy."""
+    if jax.process_count() > 1:
+        return jax.device_get(state.params)
+    return state.params
 
-    loader = make_dataloader(run.val_data_path, 8, margs.image_size,
-                             train=False, num_epochs=1, drop_remainder=False)
-    rec_fn = jax.jit(lambda v, x: trainer.model.apply(
-        {"params": v}, x, method=VQModel.img_to_reconstructed_img))
-    # host-local copy: under multi-process the train state lives on the
-    # global mesh; val runs per-host on the local device
-    params = jax.device_get(state.ema_params if state.ema_params is not None
-                            else state.params)
-    vals = []
-    for i, b in enumerate(loader):
-        if i >= max_batches:
-            break
-        x = jnp.asarray(b["image"])
-        r = rec_fn(params, x)
-        vals.append(np.asarray(psnr(x * 0.5 + 0.5, r * 0.5 + 0.5)))
-    m = float(np.mean(np.concatenate(vals))) if vals else 0.0
-    logger.info(f"val PSNR: {m:.3f}")
-    return -m  # CheckpointManager treats lower as better
+
+def validate(trainer, state, run, margs, logger, rec_fn, feat_fn=None,
+             val_batch: int = 32, max_batches=None):
+    """Full-val rFID (xqgan_train.py:516-567, uint8 clamp protocol) when
+    Inception weights are loaded; full-val PSNR proxy otherwise. Returns
+    (metric_name, value, objective) — lower objective is better."""
+    from imagefolder_tpu.data.imagenet import make_dataloader
+    from imagefolder_tpu.eval.validation import (
+        tokenizer_val_psnr,
+        tokenizer_val_rfid,
+    )
+
+    # multi-process: equal per-host shard sizes (drop_remainder) keep the
+    # activation allgather rectangular; single-host evaluates every image
+    loader = make_dataloader(run.val_data_path, val_batch, margs.image_size,
+                             train=False, num_epochs=1,
+                             drop_remainder=jax.process_count() > 1,
+                             shard_index=jax.process_index(),
+                             shard_count=jax.process_count())
+    params = _host_params(state)
+    if feat_fn is not None:
+        fid = tokenizer_val_rfid(rec_fn, params, loader, feat_fn, val_batch,
+                                 max_batches, log=logger.info)
+        logger.info(f"val rFID: {fid:.4f}")
+        return "val_rfid", fid, fid
+    m = tokenizer_val_psnr(rec_fn, params, loader, val_batch, max_batches)
+    logger.info(f"val PSNR: {m:.3f} (no --inception_ckpt: PSNR proxy "
+                "gates best-ckpt)")
+    return "val_psnr", m, -m
 
 
 if __name__ == "__main__":

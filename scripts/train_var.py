@@ -1,6 +1,12 @@
 """VAR generator training CLI (reference ``train.py``): frozen tokenizer +
 VAR teacher-forced CE over the multi-scale pyramid.
 
+In-training evaluation (reference parity): every ``--eval_every`` steps
+(default = 10 epochs, ``train.py:230``) runs ``eval_ep`` over the val split
+(val CE/acc mean+tail, ``trainer.py:58-101``), renders an 8-class CFG
+preview grid (``trainer.py:85-93``: cfg=5, top_k=900, top_p=0.95), and keeps
+a best-by-val-loss-tail checkpoint (``train.py:249-261``).
+
 Usage:
     python scripts/train_var.py --config configs/MSVR10P2-4096.yaml \
         --vq_ckpt <tokenizer ckpt> --depth 17 [key=value ...]
@@ -43,6 +49,14 @@ def main():
     ap.add_argument("--output", default="output/var")
     ap.add_argument("--log_every", type=int, default=100)
     ap.add_argument("--ckpt_every", type=int, default=5000)
+    ap.add_argument("--val_data_path", default=None,
+                    help="val split (defaults to the config's val_data_path)")
+    ap.add_argument("--eval_every", type=int, default=0,
+                    help="steps between eval_ep + preview + best-ckpt "
+                         "(0 -> every 10 epochs, reference train.py:230)")
+    ap.add_argument("--val_batches", type=int, default=0,
+                    help="cap eval_ep batches (0 = full val split)")
+    ap.add_argument("--wandb", action="store_true")
     from imagefolder_tpu.parallel.mesh import add_distributed_args, init_from_args
 
     add_distributed_args(ap)
@@ -55,15 +69,18 @@ def main():
         make_dataloader,
     )
     from imagefolder_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from imagefolder_tpu.eval.validation import var_eval_ep
     from imagefolder_tpu.train.var_train import (
         ProgressiveController,
         VARTrainConfig,
         VARTrainer,
         build_vae_var,
+        var_sample,
     )
     from imagefolder_tpu.utils.ckpt import CheckpointManager
     from imagefolder_tpu.utils.config import load_tokenizer_config
-    from imagefolder_tpu.utils.logging import MetricLogger, create_logger
+    from imagefolder_tpu.utils.logging import MetricLogger, Tracker, create_logger
+    from imagefolder_tpu.utils.viz import generation_grid, save_png
     from scripts.pretokenize import _load_params
 
     logger = create_logger(args.output)
@@ -111,6 +128,46 @@ def main():
                              shard_index=jax.process_index(),
                              shard_count=jax.process_count())
     mlog = MetricLogger(logger, args.log_every)
+    tracker = Tracker(use_wandb=args.wandb, log_dir=args.output, use_tb=True)
+    val_path = (args.val_data_path if args.val_data_path is not None
+                else run.val_data_path)
+    eval_every = args.eval_every or 10 * steps_per_epoch
+    val_bs = min(args.batch_size // jax.process_count(), 32)
+    # jitted once, reused every eval (trainer.py:85-93 preview protocol)
+    preview_fn = jax.jit(lambda p, vp, lb, k: var_sample(
+        var, p, vae, vp, lb, k, cfg_scale=5.0, top_k=900, top_p=0.95))
+
+    def run_eval(state, step):
+        """eval_ep + CFG preview + best-by-val-loss-tail (train.py:230-261)."""
+        import numpy as np
+
+        params, vparams = state.params, state.vae_params
+        if jax.process_count() > 1:  # per-host local copy for the eval loop
+            params, vparams = jax.device_get((params, vparams))
+        vloader = make_dataloader(val_path, val_bs, margs.image_size,
+                                  train=False, num_epochs=1,
+                                  drop_remainder=jax.process_count() > 1,
+                                  shard_index=jax.process_index(),
+                                  shard_count=jax.process_count())
+        ev = var_eval_ep(
+            lambda x, y: trainer.eval_step(params, vparams, x, y),
+            vloader, val_bs, args.val_batches or None)
+        logger.info(
+            f"[eval step {step}] (val {ev['val_tot']}) "
+            f"Lm: {ev['val_L_mean']:.4f}, Lt: {ev['val_L_tail']:.4f}, "
+            f"Acc m&t: {ev['val_acc_mean']:.2f} {ev['val_acc_tail']:.2f}")
+        tracker.log({k: v for k, v in ev.items() if k != "val_tot"}, step)
+        if jax.process_index() == 0:
+            lbls = jnp.asarray(np.random.default_rng(0).choice(
+                args.num_classes, 8).astype(np.int32))
+            imgs01 = preview_fn(params, vparams, lbls, jax.random.PRNGKey(0))
+            grid = generation_grid(np.asarray(imgs01) * 2.0 - 1.0, ncol=8)
+            save_png(grid, Path(args.output) / "preview"
+                     / f"gen_{step:07d}.png")
+            tracker.log_image("recon_images", grid, step)
+        ckpt.save_best(jax.device_get(state), ev["val_L_tail"])
+        return ev
+
     raw = iter(loader)
     if start and ckpt.apply_data_state(start, raw, log=logger.info):
         logger.info("restored data-stream state")
@@ -129,13 +186,20 @@ def main():
                                             jax.random.fold_in(key, step),
                                             prog_si=prog_si, prog_wp=prog_wp)
         if (step + 1) % args.log_every == 0:
-            mlog.update(**{k: float(v) for k, v in metrics.items()})
+            host = {k: float(v) for k, v in metrics.items()}
+            mlog.update(**host)
             mlog.log(step + 1, total)
+            tracker.log(host, step + 1)
         if (step + 1) % args.ckpt_every == 0:
             ckpt.save(step + 1, jax.device_get(state))
             ckpt.save_data_state(step + 1, it.state)
             ckpt.save_aux(step + 1, {"prog": prog.state_dict()})
+        if val_path and (step + 1) % eval_every == 0:
+            run_eval(state, step + 1)
     ckpt.save(total, jax.device_get(state))
+    # final-epoch eval (reference `or (ep+1) == args.ep`, train.py:230)
+    if val_path and total > start and total % eval_every != 0:
+        run_eval(state, total)
     ckpt.wait()
 
 

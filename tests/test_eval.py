@@ -145,48 +145,9 @@ def test_evaluator_cli_protocol(tmp_path):
 
 
 def _fabricate_inception_sd(seed=0):
-    """Complete torch-style pytorch-fid state dict fabricated by inverting
-    the converter mapping over the model's eval_shape tree."""
-    from collections.abc import Mapping
+    from imagefolder_tpu.eval.inception import fabricate_inception_state_dict
 
-    from imagefolder_tpu.eval.inception import InceptionV3
-
-    model = InceptionV3()
-    template = jax.eval_shape(model.init, jax.random.PRNGKey(0),
-                              jnp.zeros((1, 299, 299, 3)))
-    rng = np.random.default_rng(seed)
-    sd = {}
-
-    def emit(shape, kind):
-        if kind == "kernel":
-            return rng.normal(0, 0.05, shape).astype(np.float32)
-        if kind in ("scale", "var"):
-            return rng.uniform(0.5, 1.5, shape).astype(np.float32)
-        return rng.normal(0, 0.1, shape).astype(np.float32)
-
-    def walk(tree, prefix, stats):
-        for k, v in tree.items():
-            if isinstance(v, Mapping):
-                walk(v, prefix + [k], stats)
-                continue
-            shape = tuple(v.shape)
-            if prefix == ["fc"]:
-                if k == "kernel":
-                    sd["fc.weight"] = emit((shape[1], shape[0]), "kernel")
-                else:
-                    sd["fc.bias"] = emit(shape, "bias")
-            elif prefix[-1] == "conv":  # kernel (kh,kw,in,out) -> (out,in,kh,kw)
-                key = ".".join(prefix[:-1] + ["conv", "weight"])
-                kh, kw, cin, cout = shape
-                sd[key] = emit((cout, cin, kh, kw), "kernel")
-            elif prefix[-1] == "bn":
-                name = {"scale": "weight", "bias": "bias",
-                        "mean": "running_mean", "var": "running_var"}[k]
-                sd[".".join(prefix[:-1] + ["bn", name])] = emit(shape, k)
-
-    walk(template["params"], [], False)
-    walk(template["batch_stats"], [], True)
-    return sd
+    return fabricate_inception_state_dict(seed)
 
 
 def test_inception_validation_gate(tmp_path, monkeypatch):

@@ -1,0 +1,322 @@
+"""In-training evaluation machinery (reference xqgan_train.py:516-569 val
+rFID gate, trainer.py:58-101 eval_ep, train_utils.py:914-951 previews):
+validation helpers, VARTrainer.eval_step, per-scale usage metrics, viz
+grids, and the CLI wiring functions."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_flatten_metrics_expands_arrays():
+    from imagefolder_tpu.utils.logging import flatten_metrics
+
+    m = {"a": jnp.float32(1.5), "u": jnp.arange(6, dtype=jnp.float32
+                                                ).reshape(2, 3)}
+    out = flatten_metrics(m)
+    assert out["a"] == 1.5
+    assert out["u/0_0"] == 0.0 and out["u/1_2"] == 5.0
+    assert len(out) == 7
+
+
+def test_viz_grids_and_png(tmp_path):
+    from imagefolder_tpu.utils.viz import (
+        generation_grid,
+        save_png,
+        scale_recon_grid,
+    )
+
+    imgs = np.random.default_rng(0).uniform(-1, 1, (4, 8, 8, 3))
+    recons = [imgs * 0.5, imgs * 0.9]
+    grid = scale_recon_grid(imgs, recons, ncol=4)
+    # one row per scale + the originals row (xqgan_train.py:504-513)
+    assert grid.shape == (3 * 8, 4 * 8, 3) and grid.dtype == np.uint8
+    g2 = generation_grid(imgs, ncol=2)
+    assert g2.shape == (2 * 8, 2 * 8, 3)
+    p = tmp_path / "sub" / "g.png"
+    save_png(grid, p)
+    from PIL import Image
+
+    assert np.array_equal(np.asarray(Image.open(p)), grid)
+
+
+class _ListLoader:
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def _fake_feat_fn(dim=12, seed=0):
+    w = jax.random.normal(jax.random.PRNGKey(seed), (3, dim))
+
+    @jax.jit
+    def feat(xu8):
+        x = xu8.astype(jnp.float32) / 255.0
+        return {"pool3": jnp.mean(x, axis=(1, 2)) @ w
+                + jnp.var(x, axis=(1, 2)) @ w * 0.5}
+
+    return feat
+
+
+def test_tokenizer_val_rfid_protocol():
+    """Identical images -> rFID ~ 0; a corrupting rec_fn -> rFID > 0. Ragged
+    final batch handled exactly (padding never leaks into the statistics)."""
+    from imagefolder_tpu.eval.validation import tokenizer_val_rfid
+
+    rng = np.random.default_rng(0)
+    bs = 4
+    batches = [{"image": rng.uniform(-1, 1, (bs, 8, 8, 3)).astype(np.float32)}
+               for _ in range(5)]
+    batches.append({"image": rng.uniform(-1, 1, (2, 8, 8, 3)
+                                         ).astype(np.float32)})  # ragged
+    feat = _fake_feat_fn()
+
+    ident = jax.jit(lambda p, x: x)
+    fid0 = tokenizer_val_rfid(ident, None, _ListLoader(batches), feat, bs)
+    assert abs(fid0) < 1e-8
+
+    corrupt = jax.jit(lambda p, x: jnp.clip(x * 0.2 + 0.3, -1, 1))
+    fid1 = tokenizer_val_rfid(corrupt, None, _ListLoader(batches), feat, bs)
+    assert np.isfinite(fid1) and fid1 > 1e-4
+
+    # the ragged batch participates: dropping it changes the statistic
+    fid2 = tokenizer_val_rfid(corrupt, None, _ListLoader(batches[:-1]),
+                              feat, bs)
+    assert abs(fid1 - fid2) > 0
+
+
+def test_tokenizer_val_psnr_fallback():
+    from imagefolder_tpu.eval.validation import tokenizer_val_psnr
+
+    rng = np.random.default_rng(1)
+    batches = [{"image": rng.uniform(-1, 1, (3, 8, 8, 3)).astype(np.float32)}]
+    ident = jax.jit(lambda p, x: x)
+    m = tokenizer_val_psnr(ident, None, _ListLoader(batches), 3)
+    assert m > 100  # identical recon -> near-infinite PSNR (capped by eps)
+
+
+def test_var_eval_ep_ragged_weighting_exact():
+    """The global average must weight every *real* sample once, exactly —
+    padded rows of the ragged final batch contribute nothing."""
+    from imagefolder_tpu.eval.validation import var_eval_ep
+
+    rng = np.random.default_rng(2)
+    counts = [4, 4, 3]
+    batches = [{"image": rng.uniform(-1, 1, (n, 2, 2, 3)).astype(np.float32),
+                "label": np.arange(n, dtype=np.int32)} for n in counts]
+
+    def step_fn(x, y):
+        # per-sample metric = mean pixel value (padding rows are zeros and
+        # MUST be sliced away by the caller)
+        v = jnp.mean(x, axis=(1, 2, 3))
+        return {"L_mean": v, "L_tail": 2 * v, "acc_mean": v + 1,
+                "acc_tail": v - 1}
+
+    out = var_eval_ep(step_fn, _ListLoader(batches), 4)
+    want = np.concatenate(
+        [b["image"].mean(axis=(1, 2, 3)) for b in batches])
+    assert out["val_tot"] == sum(counts)
+    np.testing.assert_allclose(out["val_L_mean"], want.mean(), rtol=1e-6)
+    np.testing.assert_allclose(out["val_L_tail"], 2 * want.mean(), rtol=1e-6)
+    np.testing.assert_allclose(out["val_acc_mean"], want.mean() + 1,
+                               rtol=1e-6)
+
+
+def _tiny_vae_var():
+    from imagefolder_tpu.models.tokenizer import ModelArgs
+    from imagefolder_tpu.train.var_train import build_vae_var
+
+    margs = ModelArgs(
+        codebook_size=32, codebook_embed_dim=8,
+        encoder_ch_mult=(1, 2), decoder_ch_mult=(1, 2), z_channels=32,
+        enc_type="cnn", dec_type="cnn", semantic_guide="none",
+        detail_guide="none", num_latent_tokens=9, image_size=6,
+        v_patch_nums=(1, 2, 3), product_quant=2,
+    )
+    vae, var = build_vae_var(margs, depth=2, num_classes=10)
+    return margs, vae, var
+
+
+def test_var_eval_step_matches_train_ce():
+    """eval_step's per-sample L_mean averages to the train-CE value at
+    label_smooth=0 (same math, per-sample granularity), and all outputs are
+    (B,) vectors (trainer.py:58-101 semantics)."""
+    from imagefolder_tpu.train.var_train import VARTrainConfig, VARTrainer
+
+    margs, vae, var = _tiny_vae_var()
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (4, 6, 6, 3), minval=-1, maxval=1)
+    labels = jnp.arange(4, dtype=jnp.int32) % 10
+    vae_params = vae.init(key, imgs[:2], train=False)["params"]
+    tr = VARTrainer(vae, var, VARTrainConfig(total_steps=10, warmup_steps=2))
+    state = tr.init(key, vae_params, imgs[:2])
+
+    out = tr.eval_step(state.params, state.vae_params, imgs, labels)
+    for k in ("L_mean", "L_tail", "acc_mean", "acc_tail"):
+        assert out[k].shape == (4,), k
+        assert np.isfinite(np.asarray(out[k])).all(), k
+
+    # cross-check against the training-CE helper on identical logits
+    from imagefolder_tpu.models.tokenizer import VQModel
+
+    idx_P = vae.apply({"params": state.vae_params}, imgs,
+                      method=VQModel.img_to_idxBl)
+    gt_BL = [jnp.concatenate(branch, axis=1) for branch in idx_P]
+    x_in = vae.apply({"params": state.vae_params}, idx_P,
+                     method=VQModel.idxBl_to_var_input)
+    logits = var.apply({"params": state.params}, labels, x_in)
+    loss, acc, tail = tr._ce_and_acc(logits, gt_BL)
+    np.testing.assert_allclose(float(jnp.mean(out["L_mean"])), float(loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(jnp.mean(out["acc_mean"])), float(acc),
+                               rtol=1e-5)
+
+
+def test_tokenizer_metrics_per_scale_usage():
+    from imagefolder_tpu.models.tokenizer import ModelArgs
+    from imagefolder_tpu.train.tokenizer_train import (
+        TokenizerTrainConfig,
+        TokenizerTrainer,
+    )
+
+    margs = ModelArgs(
+        codebook_size=16, codebook_embed_dim=8,
+        encoder_ch_mult=(1, 2), decoder_ch_mult=(1, 2), z_channels=32,
+        enc_type="cnn", dec_type="cnn", semantic_guide="none",
+        detail_guide="none", num_latent_tokens=256, image_size=32,
+        v_patch_nums=(1, 16), product_quant=2, start_drop=1,
+    )
+    tr = TokenizerTrainer(margs, TokenizerTrainConfig(
+        disc_type="patchgan", epochs=1, steps_per_epoch=2, image_size=32))
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (4, 32, 32, 3), minval=-1, maxval=1)
+    state = tr.init(key, imgs)
+    _, m = tr.train_step(state, imgs, jax.random.PRNGKey(1), epoch=0)
+    ps = np.asarray(m["codebook_usage_per_scale"])
+    assert ps.shape == (2, 2)  # (product_quant, num_scales)
+    np.testing.assert_allclose(float(m["codebook_usage"]), ps.mean(),
+                               rtol=1e-6)
+
+
+def test_train_tokenizer_validate_wiring(tmp_path):
+    """scripts/train_tokenizer.validate: rFID branch when a feat_fn exists
+    (best objective = fid, lower better), PSNR fallback otherwise
+    (objective = -psnr)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from PIL import Image
+
+    from imagefolder_tpu.models.tokenizer import ModelArgs, VQModel
+    from imagefolder_tpu.train.tokenizer_train import (
+        TokenizerTrainConfig,
+        TokenizerTrainer,
+    )
+    from imagefolder_tpu.utils.config import RunConfig
+    from scripts.train_tokenizer import validate
+
+    rng = np.random.default_rng(0)
+    val = tmp_path / "val" / "class_0"
+    val.mkdir(parents=True)
+    for i in range(5):
+        Image.fromarray((rng.random((40, 40, 3)) * 255).astype(np.uint8)
+                        ).save(val / f"{i}.jpg")
+
+    margs = ModelArgs(
+        codebook_size=16, codebook_embed_dim=8,
+        encoder_ch_mult=(1, 2), decoder_ch_mult=(1, 2), z_channels=32,
+        enc_type="cnn", dec_type="cnn", semantic_guide="none",
+        detail_guide="none", num_latent_tokens=256, image_size=32,
+        v_patch_nums=(1, 16), start_drop=1,
+    )
+    trainer = TokenizerTrainer(margs, TokenizerTrainConfig(
+        disc_type="patchgan", epochs=1, steps_per_epoch=2, image_size=32))
+    key = jax.random.PRNGKey(0)
+    state = trainer.init(key, jnp.zeros((2, 32, 32, 3)))
+    run = RunConfig(val_data_path=str(tmp_path / "val"))
+
+    import logging
+
+    logger = logging.getLogger("test_validate")
+    rec_fn = jax.jit(lambda p, x: trainer.model.apply(
+        {"params": p}, x, method=VQModel.img_to_reconstructed_img))
+
+    name, value, obj = validate(trainer, state, run, margs, logger, rec_fn,
+                                feat_fn=None, val_batch=4)
+    assert name == "val_psnr" and obj == -value and np.isfinite(value)
+
+    name, value, obj = validate(trainer, state, run, margs, logger, rec_fn,
+                                feat_fn=_fake_feat_fn(), val_batch=4)
+    assert name == "val_rfid" and obj == value
+    assert np.isfinite(value) and value >= 0
+
+
+def test_semantic_guide_learns_under_fast_anneal():
+    """VERDICT r3 weak #7: the contrastive semantic leg has healthy training
+    dynamics, not just gradient connectivity. The reference anneals the
+    logit scale 1 -> 100 over 200 epochs (xqgan_model.py:326-330), far past
+    soak horizons; here the anneal is fast-forwarded (epoch=199 -> scale
+    ~100) and the sem_loss alone is optimized on a tiny fixed pool — it must
+    drop well below the ln(B) chance level.
+
+    guide_type_1='patch': the class-token guide is untestable with a
+    random-init teacher — DINOv2 LayerScale starts ~0, so the teacher's cls
+    output is input-INDEPENDENT at init (identical targets for every image
+    make chance the optimum; measured: loss converges to exactly ln(B)).
+    The patch-pooled target is input-dependent at init and exercises the
+    identical loss path (same _guide_loss, same gradient route through the
+    quantized feature)."""
+    import optax
+
+    from imagefolder_tpu.models.tokenizer import ModelArgs, VQModel
+
+    mcfg = ModelArgs(
+        codebook_size=32, codebook_embed_dim=8,
+        encoder_ch_mult=(1, 2), decoder_ch_mult=(1, 2), z_channels=32,
+        enc_type="cnn", dec_type="cnn", semantic_guide="dinov2",
+        detail_guide="none", num_latent_tokens=256, image_size=32,
+        v_patch_nums=(16,), guide_type_1="patch", clip_norm=True,
+        sem_loss_weight=1.0, sem_loss_scale=1.0,
+        encoder_model="vit_small_patch14_dinov2.lvd142m",
+    )
+    model = VQModel(mcfg)
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (4, 32, 32, 3), minval=-1, maxval=1)
+    params = jax.jit(lambda k, x: model.init(k, x, train=True, rng=k,
+                                             epoch=199))(key, imgs)["params"]
+
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, k):
+        def loss_fn(p):
+            out = model.apply({"params": p}, imgs, train=True, rng=k,
+                              epoch=199)
+            return out.sem_loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # the teacher output is stop_gradient'ed inside the model — its
+        # grads must be identically zero (no teacher drift "cheating")
+        tg = jax.tree.leaves(jax.tree.map(
+            lambda g: jnp.max(jnp.abs(g)), grads["semantic_model"]))
+        upd, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, upd), opt, loss, jnp.max(
+            jnp.stack(tg))
+
+    losses = []
+    for i in range(60):
+        params, opt, loss, teacher_g = step(params, opt,
+                                            jax.random.fold_in(key, i))
+        losses.append(float(loss))
+        assert float(teacher_g) == 0.0
+    chance = np.log(4.0)  # InfoNCE chance level at B=4, weight 1.0
+    assert losses[0] > chance  # starts misaligned (scale ~100 sharpens it)
+    tail = np.mean(losses[-5:])
+    assert tail < 0.5 * chance, (losses[0], tail)
+    assert tail < 0.25 * losses[0]
