@@ -356,13 +356,8 @@ def probe_sampling(part="all"):
 
 
 def _probe_sampling_var(key, timed_sampling, _log):
-    from imagefolder_tpu.models.tokenizer import ModelArgs
-    from imagefolder_tpu.train.var_train import (
-        VARTrainConfig,
-        VARTrainer,
-        build_vae_var,
-        var_sample,
-    )
+    from imagefolder_tpu.models.tokenizer import ModelArgs, VQModel
+    from imagefolder_tpu.train.var_train import build_vae_var, var_sample
 
     margs = ModelArgs(
         codebook_size=4096, codebook_embed_dim=32,
@@ -377,10 +372,20 @@ def _probe_sampling_var(key, timed_sampling, _log):
     imgs2 = jax.random.uniform(key, (2, 256, 256, 3), minval=-1, maxval=1)
     vae_params = jax.jit(
         lambda k, xx: vae.init(k, xx, train=False)["params"])(key, imgs2)
-    trainer = VARTrainer(vae, var, VARTrainConfig(total_steps=10,
-                                                  warmup_steps=2))
     _log("[sampling] VAR init (jitted)")
-    var_params = jax.jit(trainer.init)(key, vae_params, imgs2).params
+
+    # model-only init: no optimizer/EMA state (~4x params of transient HBM
+    # on the 16GB chip) just to read .params back out
+    @jax.jit
+    def _var_init(k, vp, xx):
+        idx = vae.apply({"params": vp}, xx, method=VQModel.img_to_idxBl)
+        x_in = vae.apply({"params": vp}, idx,
+                         method=VQModel.idxBl_to_var_input)
+        label = jnp.zeros((xx.shape[0],), jnp.int32)
+        return var.init({"params": k, "sample": k, "droppath": k},
+                        label, x_in, train=False)["params"]
+
+    var_params = _var_init(key, vae_params, imgs2)
 
     for b in (8, 32):
         labels = jnp.arange(b, dtype=jnp.int32) % 1000
@@ -394,17 +399,18 @@ def _probe_sampling_var(key, timed_sampling, _log):
 
 def _probe_sampling_rar(key, timed_sampling, _log):
     from imagefolder_tpu.models.rar import RAR, RARConfig, rar_generate
-    from imagefolder_tpu.train.rar_train import RARTrainConfig, RARTrainer
 
     rcfg = RARConfig(embed_dim=768, depth=24, num_heads=16, mlp_ratio=4.0,
                      image_seq_len=256, codebook_size=4096,
                      condition_num_classes=1000, dtype_str="bfloat16")
     rar = RAR(rcfg)
     tok2 = jax.random.randint(key, (2, 256), 0, 4096, jnp.int32)
-    rtr = RARTrainer(rar, RARTrainConfig(total_steps=10, warmup_steps=2))
     _log("[sampling] RAR init (jitted)")
-    rar_params = jax.jit(rtr.init)(key, tok2,
-                                   jnp.zeros((2,), jnp.int32)).params
+    # model-only init (no optimizer/EMA transients); the +codebook+1 label
+    # offset matches RARTrainer.init / reference preprocess_condition
+    rar_params = jax.jit(lambda k, t, l: rar.init(
+        {"params": k}, t, l + rcfg.codebook_size + 1)["params"])(
+            key, tok2, jnp.zeros((2,), jnp.int32))
 
     for b in (8, 64):
         cond = jnp.arange(b, dtype=jnp.int32) % 1000
@@ -423,6 +429,8 @@ def main():
     ap.add_argument("--part", choices=["all", "var", "rar"], default="all",
                     help="sampling probe only: run one workload's leg")
     args = ap.parse_args()
+    if args.part != "all" and args.probe != "sampling":
+        ap.error("--part applies to the 'sampling' probe only")
     if args.probe == "sampling":
         probe_sampling(args.part)
         return

@@ -52,7 +52,8 @@ def main():
     args = ap.parse_args()
     init_from_args(args)
 
-    from imagefolder_tpu.models.rar import RAR, RARConfig, rar_generate
+    from imagefolder_tpu.models import build_maskgit, build_rar
+    from imagefolder_tpu.models.rar import rar_generate
     from imagefolder_tpu.models.tokenizer import VQModel
     from imagefolder_tpu.utils.config import load_tokenizer_config
     from scripts.pretokenize import _load_params
@@ -68,13 +69,11 @@ def main():
     rar_params = restored.get("ema_params") or restored["params"]
 
     if args.model == "maskgit":
-        from imagefolder_tpu.models.maskgit import (
-            MaskGIT, MaskGITConfig, maskgit_generate)
+        from imagefolder_tpu.models.maskgit import maskgit_generate
 
-        mg = MaskGIT(MaskGITConfig(
-            embed_dim=args.hidden, depth=args.depth, num_heads=args.heads,
-            image_seq_len=seq_len, codebook_size=margs.codebook_size,
-            condition_num_classes=args.num_classes, dtype_str="bfloat16"))
+        mg = build_maskgit(margs, hidden=args.hidden, depth=args.depth,
+                           heads=args.heads, num_classes=args.num_classes,
+                           dtype_str="bfloat16")
 
         def gen(p, c, k):  # python decode loop; fwd passes jitted inside
             return maskgit_generate(
@@ -84,11 +83,9 @@ def main():
                 randomize_temperature=args.temperature,
                 num_sample_steps=args.num_sample_steps)
     else:
-        rar = RAR(RARConfig(embed_dim=args.hidden, depth=args.depth,
-                            num_heads=args.heads, image_seq_len=seq_len,
-                            codebook_size=margs.codebook_size,
-                            condition_num_classes=args.num_classes,
-                            dtype_str="bfloat16"))
+        rar = build_rar(margs, hidden=args.hidden, depth=args.depth,
+                        heads=args.heads, num_classes=args.num_classes,
+                        dtype_str="bfloat16")
         # KV cache in the model's activation dtype: k/v are bf16-rounded
         # before caching anyway, so an fp32 cache only doubles its HBM
         # footprint/bandwidth (RAR-B B=64 CFG: 4.9 GB -> 2.4 GB)
