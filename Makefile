@@ -16,4 +16,10 @@ entry:           ## single-chip compile check of the flagship forward
 verify-zoo:      ## checkpoint verification (set CKPT=... CONFIG=...)
 	python scripts/verify_zoo.py --config $(CONFIG) --ckpt $(CKPT) --strict
 
-.PHONY: test bench dryrun entry verify-zoo
+verify-schemas:  ## export<->import roundtrip for every zoo schema
+	JAX_PLATFORMS=cpu python scripts/verify_zoo.py --all_schemas
+
+e2e:             ## full CLI workflow demo (three workloads, procedural data)
+	python scripts/e2e_pipeline.py
+
+.PHONY: test bench dryrun entry verify-zoo verify-schemas e2e

@@ -1,0 +1,208 @@
+"""jax->torch export + HF/safetensors interchange (reference BaseModel
+save/load_pretrained, RAR/modules/base_model.py:15-127): layout fidelity
+against the actual torch reference model (cnn configs), exact roundtrips,
+and the file formats."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from imagefolder_tpu.models.tokenizer import ModelArgs, VQModel
+
+
+def _cnn_margs(product_quant=1, scales=(1, 2, 3, 16)):
+    return ModelArgs(
+        codebook_size=32, codebook_embed_dim=8,
+        encoder_ch_mult=(1, 2), decoder_ch_mult=(1, 2), z_channels=32,
+        enc_type="cnn", dec_type="cnn", semantic_guide="none",
+        detail_guide="none", num_latent_tokens=256, image_size=32,
+        v_patch_nums=scales, product_quant=product_quant, start_drop=1,
+        share_quant_resi=4,
+    )
+
+
+def _init_params(margs, seed=0):
+    model = VQModel(margs)
+    return model.init(jax.random.PRNGKey(seed),
+                      jnp.zeros((1, margs.image_size, margs.image_size, 3)),
+                      train=False)["params"]
+
+
+def _tree_exact(a, b):
+    fa = {str(k): v for k, v in jax.tree_util.tree_flatten_with_path(a)[0]}
+    fb = {str(k): v for k, v in jax.tree_util.tree_flatten_with_path(b)[0]}
+    assert sorted(fa) == sorted(fb)
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]),
+                                      err_msg=k)
+
+
+# >= 4 scales so the ticks mapping uses all share_quant_resi=4 phis (a
+# skipped phi has no flax params and stays at torch init on the way back).
+# pq=2 is excluded: the upstream VQModel cannot instantiate product_quant>1
+# with a CNN decoder (xqgan_model.py reads self.decoder.embed_dim, a
+# DINOv2Decoder-only attr) — PQ key fidelity is covered by the roundtrip
+# test below and `verify_zoo.py --all_schemas` on the real PQ2 ViT configs.
+@pytest.mark.parametrize("pq,scales", [(1, (1, 2, 3, 16)), (1, (16,))])
+def test_export_loads_into_torch_reference(pq, scales):
+    """The exported state dict must load into the REAL upstream torch
+    VQModel with zero missing and zero unexpected keys — key-name fidelity,
+    not just self-consistency."""
+    from tests.ref_utils import ref_path, stub_heavy_modules
+
+    ref_path()
+    stub_heavy_modules()
+    from tokenizer.tokenizer_image.xqgan_model import ModelArgs as RefArgs
+    from tokenizer.tokenizer_image.xqgan_model import VQModel as RefVQModel
+
+    import torch
+
+    from imagefolder_tpu.utils.convert_torch import export_vqmodel
+
+    margs = _cnn_margs(pq, scales)
+    params = _init_params(margs)
+    sd = export_vqmodel(params, margs)
+
+    rargs = RefArgs(
+        codebook_size=margs.codebook_size,
+        codebook_embed_dim=margs.codebook_embed_dim,
+        v_patch_nums=list(margs.v_patch_nums), enc_type="cnn",
+        dec_type="cnn", semantic_guide="none", detail_guide="none",
+        product_quant=pq, codebook_l2_norm=bool(margs.codebook_l2_norm),
+        share_quant_resi=margs.share_quant_resi,
+        encoder_ch_mult=list(margs.encoder_ch_mult),
+        decoder_ch_mult=list(margs.decoder_ch_mult),
+        z_channels=margs.z_channels, dropout_p=0.0)
+    ref_model = RefVQModel(rargs)
+    result = ref_model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()}, strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys
+    assert not result.missing_keys, result.missing_keys
+
+
+def test_export_convert_roundtrip_exact():
+    from imagefolder_tpu.utils.convert_torch import (
+        convert_vqmodel,
+        export_vqmodel,
+    )
+
+    margs = _cnn_margs(2)
+    params = _init_params(margs)
+    back = convert_vqmodel(export_vqmodel(params, margs), margs)
+    _tree_exact(back, params)
+
+
+def test_hub_rar_roundtrip_all_formats(tmp_path):
+    from imagefolder_tpu.models import build_rar
+    from imagefolder_tpu.utils.hub import (
+        load_pretrained_weight,
+        save_pretrained,
+        save_pretrained_weight,
+    )
+
+    rar = build_rar(seq_len=16, codebook_size=32, hidden=64, depth=2,
+                    heads=2, num_classes=10)
+    params = rar.init({"params": jax.random.PRNGKey(0)},
+                      jnp.zeros((1, 16), jnp.int32),
+                      jnp.zeros((1,), jnp.int32) + 33)["params"]
+
+    for fname in ("w.safetensors", "w.bin"):
+        p = save_pretrained_weight(tmp_path / fname, params, "rar")
+        back = load_pretrained_weight(p, "rar", depth=2)
+        _tree_exact(back, params)
+
+    # HF-style directory (model.safetensors + config.json)
+    d = save_pretrained(tmp_path / "hf_dir", params, "rar",
+                        config={"hidden_size": 64})
+    assert (d / "model.safetensors").exists()
+    import json
+
+    cfg = json.loads((d / "config.json").read_text())
+    assert cfg["model_kind"] == "rar" and cfg["hidden_size"] == 64
+    back = load_pretrained_weight(d / "model.safetensors", "rar", depth=2)
+    _tree_exact(back, params)
+
+
+def test_export_rar_matches_reference_layout():
+    """Exported RAR keys load into the upstream RAR module with zero
+    missing/unexpected params (buffers like attn_mask excluded — the
+    reference registers the causal mask as a buffer, rar.py:229)."""
+    import sys
+    import types
+
+    from tests.ref_utils import ref_path
+
+    ref_path()
+    # the upstream import chain pulls torchvision (perceptual loss) and
+    # timm.layers.Mlp (absent in this image); stub them — Mlp must be a
+    # real module with timm's fc1/fc2 param names for state-dict fidelity
+    import torch.nn as tnn
+
+    class _Mlp(tnn.Module):
+        def __init__(self, in_features, hidden_features=None,
+                     out_features=None, act_layer=tnn.GELU, drop=0.0, **kw):
+            super().__init__()
+            hidden = hidden_features or in_features
+            self.fc1 = tnn.Linear(in_features, hidden)
+            self.act = act_layer()
+            self.fc2 = tnn.Linear(hidden, out_features or in_features)
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    for name in ("torchvision", "torchvision.models",
+                 "torchvision.transforms", "timm", "timm.layers"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["timm.layers"].Mlp = _Mlp
+    sys.modules["timm"].layers = sys.modules["timm.layers"]
+    try:
+        from RAR.rar import RAR as RefRAR
+    except Exception as e:
+        pytest.skip(f"upstream RAR not importable: {e}")
+
+    import torch
+
+    from imagefolder_tpu.models import build_rar
+    from imagefolder_tpu.utils.convert_torch import export_rar
+
+    rar = build_rar(seq_len=16, codebook_size=32, hidden=64, depth=2,
+                    heads=2, num_classes=10)
+    params = rar.init({"params": jax.random.PRNGKey(0)},
+                      jnp.zeros((1, 16), jnp.int32),
+                      jnp.zeros((1,), jnp.int32) + 33)["params"]
+    sd = export_rar(params)
+
+    class _NS:  # omegaconf is absent in this image; attr/get view of a dict
+        def __init__(self, d):
+            self._d = d
+            for k, v in d.items():
+                setattr(self, k, _NS(v) if isinstance(v, dict) else v)
+
+        def get(self, k, default=None):
+            v = self._d.get(k, default)
+            return _NS(v) if isinstance(v, dict) else v
+
+    cfg = _NS({
+        "model": {
+            "vq_model": {"codebook_size": 32, "token_size": 8,
+                         "num_latent_tokens": 16},
+            "generator": {
+                "hidden_size": 64, "num_hidden_layers": 2,
+                "num_attention_heads": 2, "intermediate_size": 256,
+                "dropout": 0.0, "attn_drop": 0.0,
+                "image_seq_len": 16, "condition_num_classes": 10,
+            },
+        },
+        "dataset": {"preprocessing": {"crop_size": 64}},
+    })
+    ref = RefRAR(cfg)
+    result = ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()}, strict=False)
+    missing = [k for k in result.missing_keys
+               if not k.endswith("attn_mask")]  # non-persistent-style buffer
+    assert not result.unexpected_keys, result.unexpected_keys
+    assert not missing, missing
