@@ -291,6 +291,11 @@ class TokenizerTrainer:
         disc_w = adopt_weight(tcfg.disc_weight, step + 1, tcfg.disc_start)
 
         # ---------------- generator ---------------- #
+        # static gates: a zero weight removes the network from the compiled
+        # graph entirely (a traced 0.0 multiplier would still compute it)
+        use_lpips = bool(tcfg.perceptual_weight)
+        use_disc = bool(tcfg.disc_weight)
+
         def gen_loss_fn(params):
             out = self.model.apply(
                 {"params": params}, imgs, train=True, rng=k_model, epoch=epoch,
@@ -298,15 +303,20 @@ class TokenizerTrainer:
             dec = out.dec.astype(jnp.float32)
             rec = jnp.mean(jnp.square(imgs - dec)) if tcfg.rec_loss == "l2" \
                 else jnp.mean(jnp.abs(imgs - dec))
-            perc = jnp.mean(self.lpips.apply({"params": state.lpips_params}, imgs, dec))
-            fake_aug = self._aug(dec, k_aug_g, fade_blur)
-            logits_fake, _ = self._disc_apply(
-                jax.lax.stop_gradient(state.disc_params), state.disc_vars,
-                fake_aug, k_disc, update_stats=False)
-            g_adv = self.g_loss(logits_fake)
+            perc = (jnp.mean(self.lpips.apply(
+                {"params": state.lpips_params}, imgs, dec))
+                if use_lpips else jnp.zeros(()))
+            if use_disc:
+                fake_aug = self._aug(dec, k_aug_g, fade_blur)
+                logits_fake, _ = self._disc_apply(
+                    jax.lax.stop_gradient(state.disc_params), state.disc_vars,
+                    fake_aug, k_disc, update_stats=False)
+                g_adv = self.g_loss(logits_fake)
+            else:
+                g_adv = jnp.zeros(())
             nll = tcfg.rec_weight * rec + tcfg.perceptual_weight * perc
 
-            if tcfg.disc_adaptive_weight:
+            if tcfg.disc_adaptive_weight and use_disc:
                 dec_params = jax.lax.stop_gradient(params["decoder"])
                 pre_sg = jax.lax.stop_gradient(out.pre_last)
 
@@ -314,8 +324,9 @@ class TokenizerTrainer:
                     d = _last_layer_apply(mcfg, dec_params, pre_sg, w_last)
                     r = jnp.mean(jnp.square(imgs - d)) if tcfg.rec_loss == "l2" \
                         else jnp.mean(jnp.abs(imgs - d))
-                    pl = jnp.mean(self.lpips.apply(
+                    pl = (jnp.mean(self.lpips.apply(
                         {"params": state.lpips_params}, imgs, d))
+                        if use_lpips else jnp.zeros(()))
                     lf, _ = self._disc_apply(
                         jax.lax.stop_gradient(state.disc_params), state.disc_vars,
                         self._aug(d, k_aug_g, fade_blur), k_disc, update_stats=False)
@@ -352,6 +363,31 @@ class TokenizerTrainer:
 
         # ---------------- discriminator ---------------- #
         dec_sg = aux.pop("dec")
+
+        if not use_disc:
+            # disc_weight == 0: pure autoencoder training — no adversarial
+            # legs compiled at all (the reference would still train a
+            # pointless disc; here the whole pass is statically removed)
+            metrics = dict(aux, gen_loss=gen_loss,
+                           disc_loss=jnp.zeros(()),
+                           logits_real=jnp.zeros(()),
+                           logits_fake=jnp.zeros(()), disc_weight=disc_w)
+            hits0 = metrics.pop("hits")
+            new_usage, new_record = update_usage_ema(
+                state.usage_ema, hits0, state.record_hit)
+            usage_ps0 = usage_percent(
+                new_usage,
+                float(imgs.shape[0] * self.model_cfg.num_latent_tokens),
+                self.model_cfg.codebook_size)
+            metrics["codebook_usage"] = jnp.mean(usage_ps0)
+            metrics["codebook_usage_per_scale"] = usage_ps0
+            return TokenizerTrainState(
+                params=new_params, opt_state=new_opt, ema_params=new_ema,
+                lpips_params=state.lpips_params,
+                disc_params=state.disc_params, disc_vars=state.disc_vars,
+                disc_opt_state=state.disc_opt_state, lecam=state.lecam,
+                usage_ema=new_usage, record_hit=new_record,
+                step=step + 1), metrics
 
         def disc_loss_fn(disc_params):
             fake = self._aug(dec_sg, k_aug_f, fade_blur)

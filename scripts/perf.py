@@ -423,16 +423,120 @@ def _probe_sampling_rar(key, timed_sampling, _log):
             b)
 
 
+def probe_gan(variants_filter=None):
+    """Flagship GAN train-step component split (VERDICT r4 item 3): the
+    bench recipe (ViT-B PQ2 + DinoDisc + LPIPS + sem teacher, B=32, remat)
+    vs. each leg statically removed, plus batch/remat scaling. Every variant
+    is a fresh trainer + chained-timed step; states are dropped between
+    variants (16 GB chip)."""
+    import gc
+    from functools import partial
+
+    from imagefolder_tpu.models.tokenizer import ModelArgs
+    from imagefolder_tpu.train.tokenizer_train import (
+        TokenizerTrainConfig,
+        TokenizerTrainer,
+    )
+
+    key = jax.random.PRNGKey(0)
+
+    def margs_for(remat=True):
+        return ModelArgs(
+            codebook_size=4096, codebook_embed_dim=32,
+            v_patch_nums=(1, 1, 2, 3, 3, 4, 5, 6, 8, 11),
+            enc_type="dinov2", dec_type="dinov2",
+            encoder_model="vit_base_patch14_dinov2.lvd142m",
+            decoder_model="vit_base_patch14_dinov2.lvd142m",
+            semantic_guide="dinov2", detail_guide="none",
+            num_latent_tokens=121, product_quant=2, abs_pos_embed=True,
+            codebook_drop=0.1, start_drop=3, image_size=256,
+            dtype_str="bfloat16", remat=remat)
+
+    VARIANTS = [
+        ("bench recipe (B=32, remat)", 32, dict(), dict(remat=True)),
+        ("B=16, no remat", 16, dict(), dict(remat=False)),
+        ("B=64, remat", 64, dict(), dict(remat=True)),
+        ("B=32 remat, no adaptive weight", 32,
+         dict(disc_adaptive_weight=False), dict(remat=True)),
+        ("B=32 remat, no LPIPS", 32, dict(perceptual_weight=0.0),
+         dict(remat=True)),
+        ("B=32 remat, no disc (pure AE)", 32, dict(disc_weight=0.0),
+         dict(remat=True)),
+        ("B=32 remat, patchgan disc", 32, dict(disc_type="patchgan"),
+         dict(remat=True)),
+        ("B=32 remat, no EMA", 32, dict(ema=False), dict(remat=True)),
+    ]
+    iters = 3
+    for name, batch, tkw, mkw in VARIANTS:
+        if variants_filter and variants_filter not in name:
+            continue
+        tcfg = TokenizerTrainConfig(
+            disc_type=tkw.pop("disc_type", "dinodisc"), disc_start=0,
+            disc_adaptive_weight=tkw.pop("disc_adaptive_weight", True),
+            lecam_loss_weight=0.001, epochs=1, steps_per_epoch=1000,
+            image_size=256, ema=tkw.pop("ema", True),
+            global_batch_size=batch, **tkw)
+        trainer = TokenizerTrainer(margs_for(**mkw), tcfg)
+        imgs = jax.random.uniform(key, (batch, 256, 256, 3),
+                                  minval=-1, maxval=1)
+        print(f"[gan] {name}: init", flush=True)
+        state = trainer.init(key, imgs)
+
+        def chained(n):
+            @partial(jax.jit, donate_argnums=(0,))
+            def fn(st, xx):
+                def body(i, s):
+                    s2, _ = trainer.train_step(
+                        s, xx, jax.random.fold_in(key, i), epoch=0)
+                    return s2
+
+                out = jax.lax.fori_loop(0, n, body, st)
+                leaf = jax.tree.leaves(out.params)[0]
+                return out, jnp.sum(leaf.astype(jnp.float32).ravel()[:1])
+
+            return fn
+
+        short, long_ = chained(1), chained(1 + iters)
+
+        def run(fn, st):
+            t0 = time.time()
+            st, sc = fn(st, imgs)
+            float(sc)
+            return st, time.time() - t0
+
+        state, _ = run(short, state)   # compile
+        state, _ = run(long_, state)   # compile
+        t1s, t2s = [], []
+        for _ in range(3):
+            state, t = run(short, state)
+            t1s.append(t)
+            state, t = run(long_, state)
+            t2s.append(t)
+        dt = max(min(t2s) - min(t1s), 1e-9) / iters
+        print(f"[gan] {name:40s} {dt * 1e3:8.1f} ms/step "
+              f"{batch / dt:8.1f} img/s", flush=True)
+        del state, short, long_, trainer
+        gc.collect()
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("probe", choices=["pipeline", "block", "mlp", "sampling"])
+    ap.add_argument("probe", choices=["pipeline", "block", "mlp", "sampling",
+                                      "gan"])
     ap.add_argument("--part", choices=["all", "var", "rar"], default="all",
                     help="sampling probe only: run one workload's leg")
+    ap.add_argument("--variant", default=None,
+                    help="gan probe only: substring filter on variant names")
     args = ap.parse_args()
     if args.part != "all" and args.probe != "sampling":
         ap.error("--part applies to the 'sampling' probe only")
+    if args.variant is not None and args.probe != "gan":
+        ap.error("--variant applies to the 'gan' probe only")
     if args.probe == "sampling":
         probe_sampling(args.part)
+        return
+    if args.probe == "gan":
+        probe_gan(args.variant)
         return
     {"pipeline": probe_pipeline, "block": probe_block,
      "mlp": probe_mlp}[args.probe]()
