@@ -54,4 +54,4 @@ def test_reinit_disc_heads_patchgan():
         new, jax.random.uniform(key, (2, 32, 32, 3), minval=-1, maxval=1),
         jax.random.PRNGKey(3), epoch=0, alpha=0.0, beta=0.0,
         delta_ratio=1.0, fade_blur=0.0)
-    assert all(bool(jnp.isfinite(v)) for v in metrics.values())
+    assert all(bool(jnp.all(jnp.isfinite(v))) for v in metrics.values())
