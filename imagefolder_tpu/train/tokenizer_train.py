@@ -334,9 +334,10 @@ class TokenizerTrainer:
                             self.g_loss(lf))
 
                 w0 = jax.lax.stop_gradient(_last_layer_kernel(mcfg, dec_params))
-                _, vjp = jax.vjp(head, w0)
-                (g_nll,) = vjp((jnp.ones(()), jnp.zeros(())))
-                (g_g,) = vjp((jnp.zeros(()), jnp.ones(())))
+                # jacrev = one vmap-batched transpose for both scalar outputs
+                # (the two cotangent pulls ride one batched backward pass
+                # through LPIPS+disc instead of two serial ones)
+                g_nll, g_g = jax.jacrev(head)(w0)
                 d_weight = adaptive_disc_weight(g_nll, g_g)
             else:
                 d_weight = jnp.ones(())

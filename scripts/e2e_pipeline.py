@@ -3,16 +3,24 @@ subprocesses through the reference's full three-workload pipeline
 (README.md:150-248 workflows) on one chip, with a procedural dataset:
 
   1. train_tokenizer.py  (single-scale VQ, RobustTok-style)   -> tok_vq/
+     with the FULL in-training eval stack live: val-rFID best-ckpt gate
+     through a fabricated Inception checkpoint (random weights — the FID
+     numbers are meaningless, the plumbing is the real path), per-scale
+     recon grids (vis_every), tracker scalars.
   2. train_tokenizer.py  (multi-scale PQ2 MSVQ, ImageFolder)  -> tok_msvq/
+     with the PSNR-proxy best-ckpt fallback (no Inception weights passed).
   3. eval_reconstruction.py on both tokenizers (PSNR/SSIM)
   4. pretokenize.py      (tok_vq -> pretokenized.jsonl)        [workload C]
-  5. train_rar.py --jsonl ...                                  [workload C]
+  5. train_rar.py --jsonl ... --generate_every                 [workload C]
+     (periodic EMA preview grids decoded by the tokenizer)
   6. sample_rar.py       -> rar_samples.npz                    [workload C]
   7. train_var.py        (tok_msvq, teacher forcing)           [workload B]
+     with --eval_every: eval_ep val CE/acc + CFG preview grid +
+     best-by-val-loss-tail checkpoint.
   8. sample_var.py       -> var_samples.npz                    [workload B]
   9. grade class-conditional samples: nearest-pool-neighbour class
-     fidelity + distance (no Inception weights available offline, so the
-     FID protocol is replaced by an exact-memorization proxy).
+     fidelity + distance (no real Inception weights available offline, so
+     the acceptance grade is an exact-memorization proxy).
 
 Every stage is the shipped CLI with its public flags — nothing is called
 through the library API — so this is the "switching user" path end to end.
@@ -31,6 +39,7 @@ from pathlib import Path
 import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 
 # 8 visually distinct class palettes (RGB in [0,1])
 _COLORS = np.array([
@@ -175,6 +184,18 @@ def main():
     make_dataset(ds, args.classes, args.per_class, args.image_size)
     n_train = args.classes * args.per_class
     grid = args.image_size // 16  # VQ-16 cnn downsample factor
+    tok_steps = args.tok_epochs * (n_train // 16)
+
+    # fabricated pytorch-fid checkpoint: random weights, real plumbing —
+    # the val-rFID best-ckpt gate runs its true code path offline
+    fake_inception = wd / "fake_inception.pth"
+    import torch
+
+    from imagefolder_tpu.eval.inception import fabricate_inception_state_dict
+
+    torch.save({k: torch.tensor(v)
+                for k, v in fabricate_inception_state_dict().items()},
+               fake_inception)
 
     common = dict(
         enc_type="cnn", dec_type="cnn", vq_model="VQ-16",
@@ -185,7 +206,8 @@ def main():
         epochs=args.tok_epochs, global_batch_size=16,
         lr=8e-4, lr_scheduler="none", disc_type="patchgan",
         disc_epoch_start=args.tok_epochs // 3, disc_adaptive_weight="true",
-        ema="true", save_best="false", ckpt_every=1_000_000, log_every=8,
+        ema="true", save_best="true", ckpt_every=max(tok_steps // 2, 1),
+        vis_every=max(tok_steps // 3, 1), log_every=8,
     )
     vq_yaml, msvq_yaml = wd / "vq.yaml", wd / "msvq.yaml"
     pyramid = [p for p in (1, 2, 3, 4, 6, 8, 10, 13) if p < grid] + [grid]
@@ -197,11 +219,25 @@ def main():
     S = REPO / "scripts"
     summary = {"stages": {}, "config": vars(args),
                "platform": os.environ.get("JAX_PLATFORMS", "axon (default)")}
+    # VQ tokenizer: val-rFID best-ckpt gate (fabricated Inception weights)
     summary["stages"]["train_tok_vq"] = run_stage(
-        "train_tok_vq", [S / "train_tokenizer.py", "--config", vq_yaml], logs)
+        "train_tok_vq", [S / "train_tokenizer.py", "--config", vq_yaml,
+                         "--inception_ckpt", fake_inception], logs)
+    # MSVQ tokenizer: PSNR-proxy fallback gates best-ckpt
     summary["stages"]["train_tok_msvq"] = run_stage(
         "train_tok_msvq", [S / "train_tokenizer.py", "--config", msvq_yaml],
         logs)
+    for tag in ("tok_vq", "tok_msvq"):
+        metric = "val rfid" if tag == "tok_vq" else "val psnr"
+        summary[f"{tag}_val"] = [
+            line.strip() for line in
+            (logs / f"train_{tag}.log").read_text().splitlines()
+            if metric in line.lower()]
+        assert summary[f"{tag}_val"], f"{tag}: no {metric} line logged"
+        assert (wd / tag / "best").exists(), f"{tag}: best ckpt missing"
+        vis = sorted((wd / tag / "vis").glob("recon_*.png"))
+        assert vis, f"{tag}: no recon grids written"
+        summary[f"{tag}_recon_grids"] = [v.name for v in vis]
     vq_ckpt = latest_ckpt(wd / "tok_vq")
     msvq_ckpt = latest_ckpt(wd / "tok_msvq")
 
@@ -230,7 +266,14 @@ def main():
          "--heads", 4, "--codebook_size", 256, "--num_classes", args.classes,
          "--batch_size", 32, "--total_steps", args.rar_steps,
          "--ckpt_every", args.rar_steps, "--log_every", 100,
+         # periodic EMA preview grids (tokenizer decodes them)
+         "--config", vq_yaml, "--vq_ckpt", vq_ckpt,
+         "--generate_every", max(args.rar_steps // 2, 1),
+         "--guidance_scale", 1.5, "--temperature", 1.0,
          "--output", wd / "rar"], logs)
+    rar_previews = sorted((wd / "rar" / "train_generated_images").glob("*.png"))
+    assert rar_previews, "train_rar: no preview grids generated"
+    summary["rar_previews"] = [p.name for p in rar_previews]
     rar_npz = wd / "rar_samples.npz"
     summary["stages"]["sample_rar"] = run_stage(
         "sample_rar",
@@ -245,13 +288,24 @@ def main():
     save_grid(rar_npz, wd / "rar_samples.png")
 
     # ---- workload B: VAR teacher-forced training -> CFG sampling ----
+    var_steps = args.var_epochs * (n_train // 16)
     summary["stages"]["train_var"] = run_stage(
         "train_var",
         [S / "train_var.py", "--config", msvq_yaml, "--vq_ckpt", msvq_ckpt,
          "--depth", 6, "--batch_size", 16, "--epochs", args.var_epochs,
          "--tblr", 2e-3, "--num_classes", args.classes,
          "--ckpt_every", 1_000_000, "--log_every", 100,
+         # eval_ep + CFG preview + best-by-val-loss-tail
+         "--eval_every", max(var_steps // 2, 1),
          "--output", wd / "var"], logs)
+    summary["var_val"] = [
+        line.strip() for line in
+        (logs / "train_var.log").read_text().splitlines() if "[eval" in line]
+    assert summary["var_val"], "train_var: no eval_ep lines logged"
+    assert (wd / "var" / "best").exists(), "train_var: best ckpt missing"
+    var_previews = sorted((wd / "var" / "preview").glob("gen_*.png"))
+    assert var_previews, "train_var: no CFG preview grids"
+    summary["var_previews"] = [p.name for p in var_previews]
     var_npz = wd / "var_samples.npz"
     summary["stages"]["sample_var"] = run_stage(
         "sample_var",

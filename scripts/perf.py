@@ -440,8 +440,8 @@ def probe_gan(variants_filter=None):
 
     key = jax.random.PRNGKey(0)
 
-    def margs_for(remat=True):
-        return ModelArgs(
+    def margs_for(remat=True, **overrides):
+        kw = dict(
             codebook_size=4096, codebook_embed_dim=32,
             v_patch_nums=(1, 1, 2, 3, 3, 4, 5, 6, 8, 11),
             enc_type="dinov2", dec_type="dinov2",
@@ -451,6 +451,8 @@ def probe_gan(variants_filter=None):
             num_latent_tokens=121, product_quant=2, abs_pos_embed=True,
             codebook_drop=0.1, start_drop=3, image_size=256,
             dtype_str="bfloat16", remat=remat)
+        kw.update(overrides)
+        return ModelArgs(**kw)
 
     VARIANTS = [
         ("bench recipe (B=32, remat)", 32, dict(), dict(remat=True)),
@@ -465,6 +467,13 @@ def probe_gan(variants_filter=None):
         ("B=32 remat, patchgan disc", 32, dict(disc_type="patchgan"),
          dict(remat=True)),
         ("B=32 remat, no EMA", 32, dict(ema=False), dict(remat=True)),
+        # quantizer / teacher isolation (round 4 MFU attack):
+        ("B=32 remat, no sem teacher", 32, dict(),
+         dict(remat=True, semantic_guide="none")),
+        ("B=32 remat, P=1 quantizer", 32, dict(),
+         dict(remat=True, product_quant=1)),
+        ("B=32 remat, 1-scale pyramid", 32, dict(),
+         dict(remat=True, v_patch_nums=(11,), codebook_drop=0.0)),
     ]
     iters = 3
     for name, batch, tkw, mkw in VARIANTS:
@@ -480,6 +489,7 @@ def probe_gan(variants_filter=None):
         imgs = jax.random.uniform(key, (batch, 256, 256, 3),
                                   minval=-1, maxval=1)
         print(f"[gan] {name}: init", flush=True)
+        t_init = time.time()
         state = trainer.init(key, imgs)
 
         def chained(n):
@@ -504,8 +514,13 @@ def probe_gan(variants_filter=None):
             float(sc)
             return st, time.time() - t0
 
+        print(f"[gan] {name}: init done ({time.time() - t_init:.0f}s), "
+              "compiling chains", flush=True)
+        t_c = time.time()
         state, _ = run(short, state)   # compile
         state, _ = run(long_, state)   # compile
+        print(f"[gan] {name}: chains compiled ({time.time() - t_c:.0f}s)",
+              flush=True)
         t1s, t2s = [], []
         for _ in range(3):
             state, t = run(short, state)
