@@ -176,60 +176,21 @@ def _run_train():
     Returns (img_per_sec, flops_per_image or None). The train state is
     donated through the chained program so old+new never coexist (the B=32
     remat recipe fits the 16 GB chip only with in-place state updates)."""
-    from functools import partial
-
     import jax
-    import jax.numpy as jnp
 
-    from imagefolder_tpu.models.tokenizer import ModelArgs
-    from imagefolder_tpu.train.tokenizer_train import (
-        TokenizerTrainConfig,
-        TokenizerTrainer,
+    from imagefolder_tpu.train.recipes import (
+        chained_gan_step_fns,
+        flagship_gan_recipe,
     )
+    from imagefolder_tpu.train.tokenizer_train import TokenizerTrainer
 
-    margs = ModelArgs(
-        codebook_size=4096, codebook_embed_dim=32,
-        v_patch_nums=(1, 1, 2, 3, 3, 4, 5, 6, 8, 11),
-        enc_type="dinov2", dec_type="dinov2",
-        encoder_model="vit_base_patch14_dinov2.lvd142m",
-        decoder_model="vit_base_patch14_dinov2.lvd142m",
-        semantic_guide="dinov2", detail_guide="none",
-        num_latent_tokens=121, product_quant=2, abs_pos_embed=True,
-        codebook_drop=0.1, start_drop=3, image_size=256,
-        dtype_str="bfloat16", remat=True)
-    tcfg = TokenizerTrainConfig(
-        disc_type="dinodisc", disc_start=0, disc_adaptive_weight=True,
-        lecam_loss_weight=0.001, epochs=1, steps_per_epoch=1000,
-        image_size=256, ema=True, global_batch_size=TRAIN_BATCH)
+    margs, tcfg = flagship_gan_recipe(TRAIN_BATCH)
     trainer = TokenizerTrainer(margs, tcfg)
     key = jax.random.PRNGKey(0)
     imgs = jax.random.uniform(key, (TRAIN_BATCH, 256, 256, 3),
                               minval=-1, maxval=1)
-    _log("[bench] train leg: init")
-    state = _with_retries("train init", lambda: trainer.init(key, imgs))
-
-    def chained(n):
-        @partial(jax.jit, donate_argnums=(0,))
-        def fn(st, xx):
-            def body(i, s):
-                s2, _ = trainer.train_step(
-                    s, xx, jax.random.fold_in(key, i), epoch=0)
-                return s2
-
-            out = jax.lax.fori_loop(0, n, body, st)
-            leaf = jax.tree.leaves(out.params)[0]
-            return out, jnp.sum(leaf.astype(jnp.float32).ravel()[:1])
-
-        return fn
-
-    short, long_ = chained(1), chained(1 + TRAIN_ITERS)
-    flops = None
-    try:  # prefer the compiler's own FLOP count over the analytic estimate
-        ca = short.lower(state, imgs).cost_analysis()
-        if ca and ca.get("flops", 0) > 0:
-            flops = float(ca["flops"]) / TRAIN_BATCH
-    except Exception as e:
-        _log(f"[bench] cost_analysis unavailable ({e}); analytic FLOPs")
+    short, long_ = chained_gan_step_fns(trainer, key, TRAIN_ITERS)
+    flops_box = [None]
 
     def run(fn, st):
         t0 = time.time()
@@ -237,17 +198,33 @@ def _run_train():
         float(sc)  # scalar readback forces device completion
         return st, time.time() - t0
 
-    _log("[bench] train leg: compile short/long chains")
-    state, _ = _with_retries("train compile short", lambda: run(short, state))
-    state, _ = _with_retries("train compile long", lambda: run(long_, state))
-    t1s, t2s = [], []
-    for _ in range(3):
-        state, t = run(short, state)
-        t1s.append(t)
-        state, t = run(long_, state)
-        t2s.append(t)
-    dt = max(min(t2s) - min(t1s), 1e-9) / TRAIN_ITERS
-    return TRAIN_BATCH / dt, flops
+    # The chained programs DONATE the train state, so a mid-flight failure
+    # invalidates it — the whole measurement (fresh init included) is ONE
+    # retriable unit; a retry never touches a possibly-deleted state.
+    def measure():
+        _log("[bench] train leg: init")
+        state = trainer.init(key, imgs)
+        if flops_box[0] is None:
+            try:  # prefer the compiler's FLOP count over the analytic est.
+                ca = short.lower(state, imgs).cost_analysis()
+                if ca and ca.get("flops", 0) > 0:
+                    flops_box[0] = float(ca["flops"]) / TRAIN_BATCH
+            except Exception as e:
+                _log(f"[bench] cost_analysis unavailable ({e}); "
+                     "analytic FLOPs")
+        _log("[bench] train leg: compile short/long chains")
+        state, _ = run(short, state)
+        state, _ = run(long_, state)
+        t1s, t2s = [], []
+        for _ in range(3):
+            state, t = run(short, state)
+            t1s.append(t)
+            state, t = run(long_, state)
+            t2s.append(t)
+        return max(min(t2s) - min(t1s), 1e-9) / TRAIN_ITERS
+
+    dt = _with_retries("train measure", measure)
+    return TRAIN_BATCH / dt, flops_box[0]
 
 
 WATCHDOG_S = 2700  # a wedged tunnel BLOCKS inside native code on the first
@@ -261,17 +238,27 @@ _PRINT_LOCK = threading.Lock()  # exactly-one-JSON-line contract: whoever
 #                                 sees `done` set and stays silent
 
 
-def _arm_watchdog(done: threading.Event):
+def _arm_watchdog(done: threading.Event, result: dict, deadline: dict):
+    """Emit the CURRENT result dict (not an empty template) if the backend
+    wedges: a hang during the best-effort train leg must not discard an
+    already-measured primary metric. main() extends ``deadline['t']`` when
+    it starts the train leg."""
     def fire():
-        if done.wait(WATCHDOG_S):
-            return
+        while True:
+            remaining = deadline["t"] - time.time()
+            if remaining > 0:
+                if done.wait(min(remaining, 60.0)):
+                    return
+                continue
+            break
         with _PRINT_LOCK:
             if done.is_set():  # main finished at the deadline boundary
                 return
-            result = dict(RESULT_TEMPLATE)
-            result["error"] = (f"no result after {WATCHDOG_S}s — backend "
-                               "hung (device op blocked in native code)")
-            print(json.dumps(result), flush=True)
+            out = dict(result)
+            key = "train_error" if out.get("value") is not None else "error"
+            out[key] = (f"no result after {WATCHDOG_S}s — backend "
+                        "hung (device op blocked in native code)")
+            print(json.dumps(out), flush=True)
             os._exit(0)
 
     threading.Thread(target=fire, daemon=True).start()
@@ -280,7 +267,8 @@ def _arm_watchdog(done: threading.Event):
 def main():
     result = dict(RESULT_TEMPLATE)
     done = threading.Event()
-    _arm_watchdog(done)
+    deadline = {"t": time.time() + WATCHDOG_S}
+    _arm_watchdog(done, result, deadline)
     try:
         img_per_sec = _run()
         result["value"] = round(img_per_sec, 2)
@@ -297,6 +285,7 @@ def main():
     # primary metric (skip with IMGF_BENCH_SKIP_TRAIN=1)
     if result["value"] is not None and \
             not os.environ.get("IMGF_BENCH_SKIP_TRAIN"):
+        deadline["t"] = time.time() + WATCHDOG_S  # fresh budget per leg
         try:
             train_ips, flops_img = _run_train()
             result["train_img_per_sec"] = round(train_ips, 2)

@@ -43,23 +43,41 @@ def pad_to_batch(arr: np.ndarray, batch: int):
 def _gather_rows(feats: np.ndarray) -> np.ndarray:
     """Multi-host: concatenate every process's activation rows (the
     reference all-gathers the uint8 samples, xqgan_train.py:529-530; rows of
-    pooled features are ~25x smaller, same math)."""
+    pooled features are ~25x smaller, same math).
+
+    Ragged-safe: the val split shards without drop_remainder (ShardOptions
+    ``drop_remainder=train`` in data/imagenet.py), so per-host row counts can
+    differ by one batch — pad to the max count, gather, trim per host."""
     if jax.process_count() == 1:
         return feats
     from imagefolder_tpu.parallel.mesh import process_allgather
 
-    return np.concatenate(list(process_allgather(feats)), axis=0)
+    counts = np.asarray(
+        process_allgather(np.asarray([feats.shape[0]], np.int64))
+    ).reshape(-1)
+    m = int(counts.max())
+    padded = np.zeros((m,) + feats.shape[1:], feats.dtype)
+    padded[: feats.shape[0]] = feats
+    rows = np.asarray(process_allgather(padded))  # (P, m, ...)
+    return np.concatenate(
+        [rows[p, : int(counts[p])] for p in range(len(counts))], axis=0)
 
 
 def tokenizer_val_rfid(rec_fn, params, loader: Iterable, feat_fn,
                        batch_size: int, max_batches: Optional[int] = None,
-                       log: Callable[[str], None] = lambda s: None) -> float:
+                       log: Callable[[str], None] = lambda s: None,
+                       gt_cache: Optional[dict] = None) -> float:
     """Full-val reconstruction FID (xqgan_train.py:516-567).
 
     ``rec_fn(params, imgs_pm1) -> recon_pm1`` and ``feat_fn(uint8 NHWC) ->
     {"pool3": (B, 2048), ...}`` must both be jitted by the caller with static
     batch shapes. Activations are streamed (never 50k images in host RAM) and
-    gathered across processes before the Frechet distance."""
+    gathered across processes before the Frechet distance.
+
+    ``gt_cache``: pass the same dict across calls to compute the (invariant)
+    ground-truth statistics once per run — valid only while the val loader
+    and ``max_batches`` stay fixed, which in-training validation guarantees."""
+    have_gt = gt_cache is not None and "stats" in gt_cache
     gt_acts, rec_acts, total = [], [], 0
     for i, b in enumerate(loader):
         if max_batches is not None and i >= max_batches:
@@ -67,18 +85,23 @@ def tokenizer_val_rfid(rec_fn, params, loader: Iterable, feat_fn,
         x, n = pad_to_batch(np.asarray(b["image"]), batch_size)
         r = rec_fn(params, x)
         # uint8 protocol: clamp(127.5x + 128, 0, 255) (xqgan_train.py:524-557)
-        gt_u8 = to_uint8(x[:n])
         rec_u8 = to_uint8(np.asarray(r)[:n])
-        gt_pad, _ = pad_to_batch(gt_u8, batch_size)
         rec_pad, _ = pad_to_batch(rec_u8, batch_size)
-        gt_acts.append(np.asarray(feat_fn(gt_pad)["pool3"])[:n])
         rec_acts.append(np.asarray(feat_fn(rec_pad)["pool3"])[:n])
+        if not have_gt:
+            gt_u8 = to_uint8(x[:n])
+            gt_pad, _ = pad_to_batch(gt_u8, batch_size)
+            gt_acts.append(np.asarray(feat_fn(gt_pad)["pool3"])[:n])
         total += n
-    gt = _gather_rows(np.concatenate(gt_acts))
     rec = _gather_rows(np.concatenate(rec_acts))
-    log(f"val rFID over {len(gt)} images "
-        f"({total} on this host)")
-    s_gt, s_rec = compute_statistics(gt), compute_statistics(rec)
+    if have_gt:
+        s_gt = gt_cache["stats"]
+    else:
+        s_gt = compute_statistics(_gather_rows(np.concatenate(gt_acts)))
+        if gt_cache is not None:
+            gt_cache["stats"] = s_gt
+    log(f"val rFID over {len(rec)} images ({total} on this host)")
+    s_rec = compute_statistics(rec)
     return frechet_distance(s_rec.mu, s_rec.sigma, s_gt.mu, s_gt.sigma)
 
 

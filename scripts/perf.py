@@ -430,29 +430,8 @@ def probe_gan(variants_filter=None):
     is a fresh trainer + chained-timed step; states are dropped between
     variants (16 GB chip)."""
     import gc
-    from functools import partial
-
-    from imagefolder_tpu.models.tokenizer import ModelArgs
-    from imagefolder_tpu.train.tokenizer_train import (
-        TokenizerTrainConfig,
-        TokenizerTrainer,
-    )
 
     key = jax.random.PRNGKey(0)
-
-    def margs_for(remat=True, **overrides):
-        kw = dict(
-            codebook_size=4096, codebook_embed_dim=32,
-            v_patch_nums=(1, 1, 2, 3, 3, 4, 5, 6, 8, 11),
-            enc_type="dinov2", dec_type="dinov2",
-            encoder_model="vit_base_patch14_dinov2.lvd142m",
-            decoder_model="vit_base_patch14_dinov2.lvd142m",
-            semantic_guide="dinov2", detail_guide="none",
-            num_latent_tokens=121, product_quant=2, abs_pos_embed=True,
-            codebook_drop=0.1, start_drop=3, image_size=256,
-            dtype_str="bfloat16", remat=remat)
-        kw.update(overrides)
-        return ModelArgs(**kw)
 
     VARIANTS = [
         ("bench recipe (B=32, remat)", 32, dict(), dict(remat=True)),
@@ -479,59 +458,55 @@ def probe_gan(variants_filter=None):
     for name, batch, tkw, mkw in VARIANTS:
         if variants_filter and variants_filter not in name:
             continue
-        tcfg = TokenizerTrainConfig(
-            disc_type=tkw.pop("disc_type", "dinodisc"), disc_start=0,
-            disc_adaptive_weight=tkw.pop("disc_adaptive_weight", True),
-            lecam_loss_weight=0.001, epochs=1, steps_per_epoch=1000,
-            image_size=256, ema=tkw.pop("ema", True),
-            global_batch_size=batch, **tkw)
-        trainer = TokenizerTrainer(margs_for(**mkw), tcfg)
-        imgs = jax.random.uniform(key, (batch, 256, 256, 3),
-                                  minval=-1, maxval=1)
-        print(f"[gan] {name}: init", flush=True)
-        t_init = time.time()
-        state = trainer.init(key, imgs)
-
-        def chained(n):
-            @partial(jax.jit, donate_argnums=(0,))
-            def fn(st, xx):
-                def body(i, s):
-                    s2, _ = trainer.train_step(
-                        s, xx, jax.random.fold_in(key, i), epoch=0)
-                    return s2
-
-                out = jax.lax.fori_loop(0, n, body, st)
-                leaf = jax.tree.leaves(out.params)[0]
-                return out, jnp.sum(leaf.astype(jnp.float32).ravel()[:1])
-
-            return fn
-
-        short, long_ = chained(1), chained(1 + iters)
-
-        def run(fn, st):
-            t0 = time.time()
-            st, sc = fn(st, imgs)
-            float(sc)
-            return st, time.time() - t0
-
-        print(f"[gan] {name}: init done ({time.time() - t_init:.0f}s), "
-              "compiling chains", flush=True)
-        t_c = time.time()
-        state, _ = run(short, state)   # compile
-        state, _ = run(long_, state)   # compile
-        print(f"[gan] {name}: chains compiled ({time.time() - t_c:.0f}s)",
-              flush=True)
-        t1s, t2s = [], []
-        for _ in range(3):
-            state, t = run(short, state)
-            t1s.append(t)
-            state, t = run(long_, state)
-            t2s.append(t)
-        dt = max(min(t2s) - min(t1s), 1e-9) / iters
-        print(f"[gan] {name:40s} {dt * 1e3:8.1f} ms/step "
-              f"{batch / dt:8.1f} img/s", flush=True)
-        del state, short, long_, trainer
+        try:
+            _gan_variant(name, batch, dict(tkw), dict(mkw), key, iters)
+        except Exception as e:  # e.g. B=64 OOMs at compile — keep probing
+            print(f"[gan] {name:40s} FAILED: {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:120]}", flush=True)
         gc.collect()
+
+
+def _gan_variant(name, batch, tkw, mkw, key, iters):
+    from imagefolder_tpu.train.recipes import (
+        chained_gan_step_fns,
+        flagship_gan_recipe,
+    )
+    from imagefolder_tpu.train.tokenizer_train import TokenizerTrainer
+
+    remat = mkw.pop("remat", True)
+    margs, tcfg = flagship_gan_recipe(
+        batch, remat=remat, margs_overrides=mkw, tcfg_overrides=tkw)
+    trainer = TokenizerTrainer(margs, tcfg)
+    imgs = jax.random.uniform(key, (batch, 256, 256, 3),
+                              minval=-1, maxval=1)
+    print(f"[gan] {name}: init", flush=True)
+    t_init = time.time()
+    state = trainer.init(key, imgs)
+
+    short, long_ = chained_gan_step_fns(trainer, key, iters)
+
+    def run(fn, st):
+        t0 = time.time()
+        st, sc = fn(st, imgs)
+        float(sc)
+        return st, time.time() - t0
+
+    print(f"[gan] {name}: init done ({time.time() - t_init:.0f}s), "
+          "compiling chains", flush=True)
+    t_c = time.time()
+    state, _ = run(short, state)   # compile
+    state, _ = run(long_, state)   # compile
+    print(f"[gan] {name}: chains compiled ({time.time() - t_c:.0f}s)",
+          flush=True)
+    t1s, t2s = [], []
+    for _ in range(3):
+        state, t = run(short, state)
+        t1s.append(t)
+        state, t = run(long_, state)
+        t2s.append(t)
+    dt = max(min(t2s) - min(t1s), 1e-9) / iters
+    print(f"[gan] {name:40s} {dt * 1e3:8.1f} ms/step "
+          f"{batch / dt:8.1f} img/s", flush=True)
 
 
 def main():

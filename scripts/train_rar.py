@@ -155,6 +155,7 @@ def main():
     local_bs = args.batch_size // jax.process_count()
     logger = create_logger(args.output)
     tok = _load_tokenizer(args) if (args.config and args.vq_ckpt) else None
+    dec_fn = _make_decode_fn(tok[0]) if tok is not None else None
     if args.jsonl:
         data = JsonlTokens(args.jsonl)
         seq_len = len(data.rows[0]["tokens"])
@@ -174,7 +175,8 @@ def main():
     tracker = Tracker(use_wandb=args.wandb, log_dir=args.output, use_tb=True)
 
     if args.model == "maskgit":
-        return _train_maskgit(args, batches, seq_len, logger, tok, tracker)
+        return _train_maskgit(args, batches, seq_len, logger, tok, tracker,
+                              dec_fn)
     rar = build_rar(seq_len=seq_len, codebook_size=args.codebook_size,
                     hidden=args.hidden, depth=args.depth, heads=args.heads,
                     num_classes=args.num_classes, dtype_str="bfloat16")
@@ -227,7 +229,7 @@ def main():
                 ckpt.save_data_state(step + 1, it.get_state())
         if gen_fn is not None and (step + 1) % args.generate_every == 0:
             # EMA weights sample the preview (train_utils.py:777-780)
-            _generate_preview(gen_fn, tok, state.ema_params, args,
+            _generate_preview(gen_fn, dec_fn, tok, state.ema_params, args,
                               step + 1, tracker, logger)
     ckpt.save(args.total_steps, jax.device_get(state))
     ckpt.wait()
@@ -246,28 +248,34 @@ def _load_tokenizer(args):
     return model, params, margs
 
 
-def _generate_preview(gen_fn, tok, gen_params, args, step, tracker, logger):
+def _make_decode_fn(vae):
+    """One jitted tokenizer decode per process, built alongside the model it
+    closes over (a per-call cache would silently pin the first model seen)."""
+    from imagefolder_tpu.models.tokenizer import VQModel
+
+    return jax.jit(lambda p, t: vae.apply(
+        {"params": p}, t, method=VQModel.decode_tokens))
+
+
+def _generate_preview(gen_fn, dec_fn, tok, gen_params, args, step, tracker,
+                      logger):
     """Preview grid from the EMA weights (reference generate_images,
     utils/train_utils.py:914-951): generate 8 class-conditioned samples,
     decode with the tokenizer, save PNG + log the image."""
     import jax
     import numpy as np
 
-    from imagefolder_tpu.models.tokenizer import VQModel
     from imagefolder_tpu.utils.viz import generation_grid, save_png
 
     if jax.process_index() != 0:
         return
-    vae, vae_params, _ = tok
+    _, vae_params, _ = tok
     if jax.process_count() > 1:
         gen_params = jax.device_get(gen_params)
-    if not hasattr(_generate_preview, "_dec"):
-        _generate_preview._dec = jax.jit(lambda p, t: vae.apply(
-            {"params": p}, t, method=VQModel.decode_tokens))
     lbls = jnp.asarray(np.random.default_rng(0).choice(
         args.num_classes, 8).astype(np.int32))
     toks = gen_fn(gen_params, lbls, jax.random.PRNGKey(step))
-    imgs = _generate_preview._dec(vae_params, toks)  # [-1, 1]
+    imgs = dec_fn(vae_params, toks)  # [-1, 1]
     grid = generation_grid(np.asarray(imgs), ncol=8)
     out = (Path(args.output) / "train_generated_images"
            / f"{step:08d}_s-generated.png")
@@ -303,7 +311,8 @@ def _online_tokens(args, tok):
     return gen(), seq_len, margs.codebook_size
 
 
-def _train_maskgit(args, batches, seq_len, logger, tok=None, tracker=None):
+def _train_maskgit(args, batches, seq_len, logger, tok=None, tracker=None,
+                   dec_fn=None):
     """MaskGIT masked-modeling loop (reference model_type='maskgit')."""
     import jax
     import jax.numpy as jnp
@@ -367,7 +376,7 @@ def _train_maskgit(args, batches, seq_len, logger, tok=None, tracker=None):
         if (step + 1) % args.ckpt_every == 0:
             ckpt.save(step + 1, jax.device_get({"params": params}))
         if gen_fn is not None and (step + 1) % args.generate_every == 0:
-            _generate_preview(gen_fn, tok, params, args, step + 1,
+            _generate_preview(gen_fn, dec_fn, tok, params, args, step + 1,
                               tracker, logger)
     ckpt.save(args.total_steps, jax.device_get({"params": params}))
     ckpt.wait()

@@ -138,6 +138,7 @@ def main():
         logger.info(f"val rFID enabled (Inception: {args.inception_ckpt})")
 
     step = start_step
+    val_gt_cache = {}  # GT Inception stats computed once per run
     data_raw = iter(loader)
     if start_step and ckpt.apply_data_state(start_step, data_raw,
                                             log=logger.info):
@@ -195,7 +196,8 @@ def main():
                     name, value, objective = validate(
                         trainer, state, run, margs, logger, rec_fn, feat_fn,
                         val_batch=args.val_batch_size,
-                        max_batches=args.val_batches or None)
+                        max_batches=args.val_batches or None,
+                        gt_cache=val_gt_cache)
                     tracker.log({name: value}, step)
                     ckpt.save_best(jax.device_get(state), objective)
     ckpt.save(step, jax.device_get(state))
@@ -213,10 +215,13 @@ def _host_params(state):
 
 
 def validate(trainer, state, run, margs, logger, rec_fn, feat_fn=None,
-             val_batch: int = 32, max_batches=None):
+             val_batch: int = 32, max_batches=None, gt_cache=None):
     """Full-val rFID (xqgan_train.py:516-567, uint8 clamp protocol) when
     Inception weights are loaded; full-val PSNR proxy otherwise. Returns
-    (metric_name, value, objective) — lower objective is better."""
+    (metric_name, value, objective) — lower objective is better.
+
+    ``gt_cache``: persistent dict so the ground-truth Inception statistics
+    are computed once per run (the val split never changes mid-run)."""
     from imagefolder_tpu.data.imagenet import make_dataloader
     from imagefolder_tpu.eval.validation import (
         tokenizer_val_psnr,
@@ -233,7 +238,8 @@ def validate(trainer, state, run, margs, logger, rec_fn, feat_fn=None,
     params = _host_params(state)
     if feat_fn is not None:
         fid = tokenizer_val_rfid(rec_fn, params, loader, feat_fn, val_batch,
-                                 max_batches, log=logger.info)
+                                 max_batches, log=logger.info,
+                                 gt_cache=gt_cache)
         logger.info(f"val rFID: {fid:.4f}")
         return "val_rfid", fid, fid
     m = tokenizer_val_psnr(rec_fn, params, loader, val_batch, max_batches)

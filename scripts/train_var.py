@@ -164,7 +164,7 @@ def main():
             grid = generation_grid(np.asarray(imgs01) * 2.0 - 1.0, ncol=8)
             save_png(grid, Path(args.output) / "preview"
                      / f"gen_{step:07d}.png")
-            tracker.log_image("recon_images", grid, step)
+            tracker.log_image("generated_images", grid, step)
         ckpt.save_best(jax.device_get(state), ev["val_L_tail"])
         return ev
 

@@ -409,8 +409,6 @@ def main():
         if not (args.config and args.ckpt):
             return 0
     elif not (args.config and args.ckpt):
-        if args.all_schemas:
-            return 0
         ap.error("pass --config + --ckpt (tokenizer check), "
                  "--all_schemas, and/or --inception_ckpt")
 

@@ -89,6 +89,69 @@ def test_tokenizer_val_rfid_protocol():
     assert abs(fid1 - fid2) > 0
 
 
+def test_tokenizer_val_rfid_gt_cache():
+    """Same result with and without the GT-stats cache; the cached call
+    never invokes feat_fn on ground-truth images again."""
+    from imagefolder_tpu.eval.validation import tokenizer_val_rfid
+
+    rng = np.random.default_rng(3)
+    bs = 4
+    batches = [{"image": rng.uniform(-1, 1, (bs, 8, 8, 3)).astype(np.float32)}
+               for _ in range(4)]
+    feat = _fake_feat_fn()
+    calls = {"n": 0}
+
+    def counting_feat(xu8):
+        calls["n"] += 1
+        return feat(xu8)
+
+    corrupt = jax.jit(lambda p, x: jnp.clip(x * 0.2 + 0.3, -1, 1))
+    cache = {}
+    f1 = tokenizer_val_rfid(corrupt, None, _ListLoader(batches),
+                            counting_feat, bs, gt_cache=cache)
+    first_calls = calls["n"]
+    assert first_calls == 2 * len(batches)  # gt + rec per batch
+    assert "stats" in cache
+    f2 = tokenizer_val_rfid(corrupt, None, _ListLoader(batches),
+                            counting_feat, bs, gt_cache=cache)
+    assert calls["n"] == first_calls + len(batches)  # rec only
+    assert np.allclose(f1, f2, rtol=1e-6, atol=1e-8)
+    # matches the uncached computation exactly
+    f3 = tokenizer_val_rfid(corrupt, None, _ListLoader(batches), feat, bs)
+    assert np.allclose(f1, f3, rtol=1e-6, atol=1e-8)
+
+
+def test_gather_rows_ragged_multihost(monkeypatch):
+    """Multi-host activation gather with per-host row counts differing by a
+    batch (val shards don't drop_remainder): pad-gather-trim keeps every row
+    exactly once, in process order."""
+    from imagefolder_tpu.eval import validation as V
+
+    host_rows = [np.arange(6, dtype=np.float32).reshape(3, 2) + 10,
+                 np.arange(2, dtype=np.float32).reshape(1, 2) + 100]
+
+    for me in range(2):
+        monkeypatch.setattr(V.jax, "process_count", lambda: 2)
+
+        def fake_allgather(x, tiled=False):
+            if x.ndim == 1 and x.dtype == np.int64:  # counts
+                return np.stack([np.asarray([h.shape[0]], np.int64)
+                                 for h in host_rows])
+            out = []
+            for h in host_rows:
+                p = np.zeros_like(x)
+                p[: h.shape[0]] = h
+                out.append(p)
+            return np.stack(out)
+
+        import imagefolder_tpu.parallel.mesh as mesh_mod
+
+        monkeypatch.setattr(mesh_mod, "process_allgather", fake_allgather)
+        got = V._gather_rows(host_rows[me])
+        want = np.concatenate(host_rows, axis=0)
+        assert np.array_equal(got, want)
+
+
 def test_tokenizer_val_psnr_fallback():
     from imagefolder_tpu.eval.validation import tokenizer_val_psnr
 
