@@ -108,11 +108,15 @@ class DinoDisc(nn.Module):
     key_depths: Sequence[int] = (2, 5, 8, 11)
     ks: int = 9
     norm_eps: float = 1e-6
+    # trunk compute dtype; the reference's disc pass runs inside
+    # autocast(bf16) by default (xqgan_train.py:419,467), so bfloat16 is the
+    # parity-faithful training setting. Readout taps + heads stay fp32.
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.dino = ViTBackbone(
             img_size=224, patch_size=16, embed_dim=384, depth=self.depth,
-            num_heads=6, init_values=None, name="dino",
+            num_heads=6, init_values=None, dtype=self.dtype, name="dino",
         )
         kd = tuple(d for d in self.key_depths if d < self.depth)
         self.kd = kd

@@ -36,6 +36,14 @@ _SCALE = (0.458, 0.448, 0.450)
 
 
 class LPIPS(nn.Module):
+    """``dtype`` is the VGG-stack compute dtype. The reference runs LPIPS
+    inside ``autocast(bf16)`` by default (xqgan_train.py:118,419,449), so
+    ``bfloat16`` here is the parity-faithful *training* setting (and rides
+    the MXU at full rate); the metric-sensitive tail — channel-unit
+    normalization, squared diff, linear heads — always runs fp32."""
+
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x, y):
         """x, y: NHWC images in [-1, 1]. Returns per-sample LPIPS (B, 1, 1, 1)."""
@@ -43,7 +51,7 @@ class LPIPS(nn.Module):
         scale = jnp.asarray(_SCALE)
 
         def scaled(t):
-            return (t.astype(jnp.float32) - shift) / scale
+            return ((t.astype(jnp.float32) - shift) / scale).astype(self.dtype)
 
         feats_x, feats_y = [], []
         hx, hy = scaled(x), scaled(y)
@@ -53,12 +61,12 @@ class LPIPS(nn.Module):
                 hx = nn.max_pool(hx, (2, 2), strides=(2, 2))
                 hy = nn.max_pool(hy, (2, 2), strides=(2, 2))
             conv = nn.Conv(ch, (3, 3), padding=1, param_dtype=jnp.float32,
-                           name=f"conv_{conv_idx}")
+                           dtype=self.dtype, name=f"conv_{conv_idx}")
             hx, hy = nn.relu(conv(hx)), nn.relu(conv(hy))
             relu_idx = conv_idx + 1
             if relu_idx in _TAP_AFTER:
-                feats_x.append(hx)
-                feats_y.append(hy)
+                feats_x.append(hx.astype(jnp.float32))
+                feats_y.append(hy.astype(jnp.float32))
 
         total = 0.0
         for i, (fx, fy) in enumerate(zip(feats_x, feats_y)):

@@ -93,6 +93,12 @@ class TokenizerTrainConfig:
     image_size: int = 256
     dino_depth: int = 12  # DinoDisc trunk depth (reduced in tests)
     grad_accum_steps: int = 1
+    # Compute dtype for the loss stack (LPIPS VGG convs + DinoDisc trunk).
+    # The reference runs BOTH inside autocast(bf16) by default
+    # (xqgan_train.py:118,419,449,467); "float32" here matches its
+    # --mixed-precision none and is what the goldens pin; training recipes
+    # use "bfloat16" (full-rate MXU, parity with the reference default).
+    loss_dtype: str = "float32"
 
 
 @jax.tree_util.register_dataclass
@@ -166,9 +172,10 @@ class TokenizerTrainer:
         self.model_cfg = model_cfg
         self.tcfg = tcfg
         self.model = VQModel(model_cfg)
-        self.lpips = LPIPS()
+        loss_dtype = jnp.dtype(tcfg.loss_dtype)
+        self.lpips = LPIPS(dtype=loss_dtype)
         if tcfg.disc_type == "dinodisc":
-            self.disc = DinoDisc(depth=tcfg.dino_depth)
+            self.disc = DinoDisc(depth=tcfg.dino_depth, dtype=loss_dtype)
         elif tcfg.disc_type == "patchgan":
             self.disc = PatchGANDiscriminator()
         elif tcfg.disc_type == "stylegan":
@@ -320,24 +327,34 @@ class TokenizerTrainer:
                 dec_params = jax.lax.stop_gradient(params["decoder"])
                 pre_sg = jax.lax.stop_gradient(out.pre_last)
 
-                def head(w_last):
+                # Two SEPARATELY-traced heads so each backward is pruned to
+                # its own branch: the nll cotangent never touches the disc
+                # and the adv cotangent never touches LPIPS — one LPIPS bwd
+                # + one disc bwd total. (A tuple-output jacrev batches the
+                # two pulls but forces BOTH branches through BOTH cotangent
+                # rows — ~2x the transpose FLOPs; measured slower on TPU.)
+                # The recomputed last-layer forward is bitwise-identical to
+                # out.dec (tests/test_tokenizer_train.py), so XLA CSEs it
+                # and the duplicated LPIPS/disc forwards with the main pass.
+                def head_nll(w_last):
                     d = _last_layer_apply(mcfg, dec_params, pre_sg, w_last)
                     r = jnp.mean(jnp.square(imgs - d)) if tcfg.rec_loss == "l2" \
                         else jnp.mean(jnp.abs(imgs - d))
                     pl = (jnp.mean(self.lpips.apply(
                         {"params": state.lpips_params}, imgs, d))
                         if use_lpips else jnp.zeros(()))
+                    return tcfg.rec_weight * r + tcfg.perceptual_weight * pl
+
+                def head_g(w_last):
+                    d = _last_layer_apply(mcfg, dec_params, pre_sg, w_last)
                     lf, _ = self._disc_apply(
                         jax.lax.stop_gradient(state.disc_params), state.disc_vars,
                         self._aug(d, k_aug_g, fade_blur), k_disc, update_stats=False)
-                    return (tcfg.rec_weight * r + tcfg.perceptual_weight * pl,
-                            self.g_loss(lf))
+                    return self.g_loss(lf)
 
                 w0 = jax.lax.stop_gradient(_last_layer_kernel(mcfg, dec_params))
-                # jacrev = one vmap-batched transpose for both scalar outputs
-                # (the two cotangent pulls ride one batched backward pass
-                # through LPIPS+disc instead of two serial ones)
-                g_nll, g_g = jax.jacrev(head)(w0)
+                g_nll = jax.grad(head_nll)(w0)
+                g_g = jax.grad(head_g)(w0)
                 d_weight = adaptive_disc_weight(g_nll, g_g)
             else:
                 d_weight = jnp.ones(())

@@ -124,11 +124,14 @@ def load_tokenizer_config(
     # generator/disc pass runs under autocast(bf16), xqgan_train.py:419,449)
     # maps to the activation dtype; params stay fp32 either way. fp16 needs
     # no GradScaler on TPU — bf16 has fp32's exponent range.
+    mp_dtype = {
+        "bf16": "bfloat16", "fp16": "bfloat16", "none": "float32",
+    }.get(str(run.mixed_precision), "float32")
     if "dtype_str" not in model_kwargs:
-        mp = str(run.mixed_precision)
-        model_kwargs["dtype_str"] = {
-            "bf16": "bfloat16", "fp16": "bfloat16", "none": "float32",
-        }.get(mp, "float32")
+        model_kwargs["dtype_str"] = mp_dtype
+    # the reference autocast also covers the VQLoss stack (LPIPS + disc
+    # trunk, xqgan_train.py:449,467) — mirror it in the loss compute dtype
+    train_kwargs.setdefault("loss_dtype", mp_dtype)
     margs = ModelArgs(**model_kwargs)
 
     train_kwargs.setdefault("disc_lr", train_kwargs.get("lr", 1e-4))

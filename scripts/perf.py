@@ -437,6 +437,12 @@ def probe_gan(variants_filter=None):
         ("bench recipe (B=32, remat)", 32, dict(), dict(remat=True)),
         ("B=16, no remat", 16, dict(), dict(remat=False)),
         ("B=64, remat", 64, dict(), dict(remat=True)),
+        # reference-default autocast(bf16) over the loss stack
+        # (LPIPS + disc trunk), xqgan_train.py:118,419,449,467:
+        ("B=32 remat, bf16 loss stack", 32, dict(loss_dtype="bfloat16"),
+         dict(remat=True)),
+        ("B=64 remat, bf16 loss stack", 64, dict(loss_dtype="bfloat16"),
+         dict(remat=True)),
         ("B=32 remat, no adaptive weight", 32,
          dict(disc_adaptive_weight=False), dict(remat=True)),
         ("B=32 remat, no LPIPS", 32, dict(perceptual_weight=0.0),

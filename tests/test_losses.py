@@ -170,6 +170,40 @@ def test_lpips_basic_properties_and_converter():
     assert p["lin_0"]["kernel"].shape == (1, 1, 64, 1)
 
 
+def test_lpips_bf16_compute_close_to_fp32():
+    """loss_dtype='bfloat16' (reference --mixed-precision default,
+    xqgan_train.py:118,449) keeps the metric close to fp32: the VGG convs
+    run bf16, the normalize/diff/head tail stays fp32."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (2, 64, 64, 3), minval=-1, maxval=1)
+    y = jnp.clip(x + 0.1 * jax.random.normal(jax.random.PRNGKey(1), x.shape),
+                 -1, 1)
+    variables = LPIPS().init(key, x, y)
+    d32 = np.asarray(LPIPS().apply(variables, x, y))
+    d16 = np.asarray(LPIPS(dtype=jnp.bfloat16).apply(variables, x, y))
+    assert d16.dtype == np.float32  # fp32 tail
+    rel = np.abs(d16 - d32) / (np.abs(d32) + 1e-8)
+    assert rel.max() < 0.05, rel
+    # identical-pair still ~0 (normalized features cancel exactly)
+    same = np.asarray(LPIPS(dtype=jnp.bfloat16).apply(variables, x, x))
+    assert np.abs(same).max() < 1e-4
+
+
+def test_dinodisc_bf16_trunk_close_to_fp32():
+    from imagefolder_tpu.losses.discriminators import DinoDisc
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (2, 32, 32, 3), minval=-1, maxval=1)
+    variables = DinoDisc(depth=2).init(key, x, train=False)
+    l32 = np.asarray(DinoDisc(depth=2).apply(variables, x, train=False))
+    l16 = np.asarray(
+        DinoDisc(depth=2, dtype=jnp.bfloat16).apply(variables, x, train=False))
+    assert l16.dtype == np.float32
+    # same param tree (dtype is compute-only), logits close
+    scale = np.abs(l32).mean() + 1e-6
+    assert (np.abs(l16 - l32) / scale).mean() < 0.1
+
+
 def test_diffaug_golden_vs_reference():
     """Translation/color/cutout math vs the reference DiffAug.aug
     (diffaug.py:69-121) with shared uniforms, and the warm-up blur

@@ -58,6 +58,28 @@ def test_train_step_updates_and_finite():
     assert max(jax.tree.leaves(dd)) > 0
 
 
+def test_train_step_bf16_loss_stack():
+    """loss_dtype='bfloat16' (reference autocast default over the VQLoss
+    stack, xqgan_train.py:449,467) trains: finite metrics, params move,
+    both bf16 legs (LPIPS convs + DinoDisc trunk) in the graph."""
+    tr = _tiny_trainer(loss_dtype="bfloat16", disc_type="dinodisc",
+                       dino_depth=2)
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (2, 32, 32, 3), minval=-1, maxval=1)
+    state = tr.init(key, imgs)
+    state0 = jax.device_get(state)
+    s1, _ = tr.train_step(state, imgs, jax.random.PRNGKey(1), epoch=0)
+    s2, m2 = tr.train_step(s1, imgs, jax.random.PRNGKey(2), epoch=0)
+    for k, v in m2.items():
+        assert np.isfinite(np.asarray(v)).all(), f"{k} not finite"
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                     state0.params, jax.device_get(s2.params))
+    assert max(jax.tree.leaves(d)) > 0
+    # params themselves stay fp32 (compute-only dtype)
+    assert all(a.dtype == jnp.float32
+               for a in jax.tree.leaves(s2.lpips_params))
+
+
 def test_disc_warmup_zeroes_adv_effect():
     tr = _tiny_trainer(disc_start=1000, disc_adaptive_weight=False)
     key = jax.random.PRNGKey(0)
