@@ -17,7 +17,7 @@ __all__ = [
 def build_vae_var(model_args: ModelArgs, depth: int = 16, *,
                   shared_aln: bool = False, attn_l2_norm: bool = True,
                   cond_drop_rate: float = 0.1, num_classes: int = 1000,
-                  dtype_str: str = "float32"):
+                  dtype_str: str = "float32", remat: bool = False):
     """Tokenizer + VAR assembly (reference ``models/__init__.py:14-65``):
     width = 64*depth, heads = depth, drop_path = 0.1 * depth/24, vocab and
     Cvae folded over the PQ branches (xqgan_model.py:123)."""
@@ -35,6 +35,7 @@ def build_vae_var(model_args: ModelArgs, depth: int = 16, *,
         drop_path_rate=0.1 * depth / 24,
         patch_nums=tuple(model_args.v_patch_nums),
         dtype_str=dtype_str,
+        remat=remat,
     )
     return vae, VAR(var_cfg)
 
@@ -49,7 +50,7 @@ def _rar_seq_len(seq_len, model_args):
 def build_rar(model_args: ModelArgs = None, *, seq_len: int = None,
               codebook_size: int = None, hidden: int = 768, depth: int = 24,
               heads: int = 16, num_classes: int = 1000,
-              dtype_str: str = "float32"):
+              dtype_str: str = "float32", remat: bool = False):
     """RAR over a tokenizer's flat final-scale tokens (reference
     ``utils/train_utils.py:101-143`` create_model_and_loss_module('rar') +
     ``configs/generator/robustTok-rar.yaml`` model keys). Pass the tokenizer
@@ -61,7 +62,8 @@ def build_rar(model_args: ModelArgs = None, *, seq_len: int = None,
         embed_dim=hidden, depth=depth, num_heads=heads,
         image_seq_len=_rar_seq_len(seq_len, model_args),
         codebook_size=codebook_size or model_args.codebook_size,
-        condition_num_classes=num_classes, dtype_str=dtype_str))
+        condition_num_classes=num_classes, dtype_str=dtype_str,
+        remat=remat))
 
 
 def build_maskgit(model_args: ModelArgs = None, *, seq_len: int = None,

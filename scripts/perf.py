@@ -515,24 +515,163 @@ def _gan_variant(name, batch, tkw, mkw, key, iters):
           f"{batch / dt:8.1f} img/s", flush=True)
 
 
+V5E_PEAK_BF16 = 197e12  # TPU v5e bf16 peak FLOP/s (MFU denominator)
+
+
+def _chained_train_steps(step_once, iters):
+    """(short, long) donated jit chains of 1 and 1+iters train steps.
+    ``step_once(state, i, *batch) -> state``; per-step time =
+    (long - short)/iters with a scalar readback (chained methodology, see
+    module docstring)."""
+
+    def chained(n):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def fn(st, *batch):
+            out = jax.lax.fori_loop(
+                0, n, lambda i, s: step_once(s, i, *batch), st)
+            leaf = jax.tree.leaves(out.params)[0]
+            return out, jnp.sum(leaf.astype(jnp.float32).ravel()[:1])
+
+        return fn
+
+    return chained(1), chained(1 + iters)
+
+
+def _time_train_variant(name, batch_size, step_once, state, batch, iters=6):
+    short, long_ = _chained_train_steps(step_once, iters)
+    flops = None
+    try:  # compiler-counted FLOPs for one step -> MFU
+        ca = short.lower(state, *batch).cost_analysis()
+        if ca and ca.get("flops", 0) > 0:
+            flops = float(ca["flops"])
+    except Exception:
+        pass
+
+    def run(fn, st):
+        t0 = time.time()
+        st, sc = fn(st, *batch)
+        float(sc)
+        return st, time.time() - t0
+
+    print(f"[gentrain] {name}: compiling chains", flush=True)
+    t_c = time.time()
+    state, _ = run(short, state)
+    state, _ = run(long_, state)
+    print(f"[gentrain] {name}: compiled ({time.time() - t_c:.0f}s)",
+          flush=True)
+    t1s, t2s = [], []
+    for _ in range(3):
+        state, t = run(short, state)
+        t1s.append(t)
+        state, t = run(long_, state)
+        t2s.append(t)
+    dt = max(min(t2s) - min(t1s), 1e-9) / iters
+    mfu = f"  MFU {flops / dt / V5E_PEAK_BF16:.3f}" if flops else ""
+    print(f"[gentrain] {name:44s} {dt * 1e3:8.1f} ms/step "
+          f"{batch_size / dt:8.1f} img/s{mfu}", flush=True)
+
+
+def probe_gentrain(part="all", variants_filter=None):
+    """Generator train-step batch/remat ladder (round-4 MFU attack on the
+    VAR/RAR rows of the PARITY MFU table): the full jitted optimizer steps
+    (VAR: frozen-VAE img_to_idxBl + teacher forcing, trainer.py:103-147;
+    RAR: permutation training + EMA, utils/train_utils.py:641-767) at the
+    reference-recipe per-device batches. MFU uses compiler-counted FLOPs
+    over the v5e bf16 peak."""
+    from imagefolder_tpu.models import build_rar, build_vae_var
+    from imagefolder_tpu.models.tokenizer import ModelArgs
+    from imagefolder_tpu.train.rar_train import RARTrainConfig, RARTrainer
+    from imagefolder_tpu.train.var_train import VARTrainConfig, VARTrainer
+
+    key = jax.random.PRNGKey(0)
+
+    if part in ("all", "var"):
+        margs = ModelArgs(
+            codebook_size=4096, codebook_embed_dim=32,
+            v_patch_nums=(1, 1, 2, 3, 3, 4, 5, 6, 8, 11),
+            enc_type="dinov2", dec_type="dinov2",
+            encoder_model="vit_small_patch14_dinov2.lvd142m",
+            decoder_model="vit_small_patch14_dinov2.lvd142m",
+            semantic_guide="none", detail_guide="none",
+            num_latent_tokens=121, product_quant=2, abs_pos_embed=True,
+            image_size=256, dtype_str="bfloat16")
+        # (B=8, no remat) is the round-3 PARITY MFU anchor
+        for b, remat in ((8, False), (32, False), (64, True), (128, True)):
+            name = f"VAR-d16 PQ2 train step (B={b}"
+            name += ", remat)" if remat else ")"
+            if variants_filter and variants_filter not in name:
+                continue
+            try:
+                vae, var = build_vae_var(margs, depth=16,
+                                         dtype_str="bfloat16", remat=remat)
+                trainer = VARTrainer(vae, var, VARTrainConfig())
+                imgs = jax.random.uniform(key, (b, 256, 256, 3),
+                                          minval=-1, maxval=1)
+                labels = jnp.arange(b, dtype=jnp.int32) % 1000
+                print(f"[gentrain] {name}: init", flush=True)
+                vae_params = jax.jit(
+                    lambda k, xx: vae.init(k, xx, train=False)["params"])(
+                        key, imgs[:2])
+                state = trainer.init(key, vae_params, imgs[:2])
+                _time_train_variant(
+                    name, b,
+                    lambda s, i, im, lb: trainer.train_step(
+                        s, im, lb, jax.random.fold_in(key, i))[0],
+                    state, (imgs, labels))
+            except Exception as e:
+                print(f"[gentrain] {name} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
+
+    if part in ("all", "rar"):
+        # B=16 is the round-3 anchor; 64/gpu is the reference recipe batch
+        # (configs/generator/robustTok-rar.yaml:85-96: 2048 over 32 GPUs)
+        for b, remat in ((16, False), (64, False), (256, True)):
+            name = f"RAR-B train step (B={b}"
+            name += ", remat)" if remat else ")"
+            if variants_filter and variants_filter not in name:
+                continue
+            try:
+                rar = build_rar(seq_len=256, codebook_size=4096,
+                                dtype_str="bfloat16", remat=remat)
+                trainer = RARTrainer(rar, RARTrainConfig())
+                tokens = jax.random.randint(key, (b, 256), 0, 4096,
+                                            jnp.int32)
+                labels = jnp.arange(b, dtype=jnp.int32) % 1000
+                print(f"[gentrain] {name}: init", flush=True)
+                state = trainer.init(key, tokens[:2], labels[:2])
+                _time_train_variant(
+                    name, b,
+                    lambda s, i, tk, lb: trainer.train_step(
+                        s, tk, lb, jax.random.fold_in(key, i),
+                        random_ratio=0.5)[0],
+                    state, (tokens, labels))
+            except Exception as e:
+                print(f"[gentrain] {name} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("probe", choices=["pipeline", "block", "mlp", "sampling",
-                                      "gan"])
+                                      "gan", "gentrain"])
     ap.add_argument("--part", choices=["all", "var", "rar"], default="all",
-                    help="sampling probe only: run one workload's leg")
+                    help="sampling/gentrain probes only: run one leg")
     ap.add_argument("--variant", default=None,
-                    help="gan probe only: substring filter on variant names")
+                    help="gan/gentrain probes only: substring filter on "
+                         "variant names")
     args = ap.parse_args()
-    if args.part != "all" and args.probe != "sampling":
-        ap.error("--part applies to the 'sampling' probe only")
-    if args.variant is not None and args.probe != "gan":
-        ap.error("--variant applies to the 'gan' probe only")
+    if args.part != "all" and args.probe not in ("sampling", "gentrain"):
+        ap.error("--part applies to the 'sampling'/'gentrain' probes only")
+    if args.variant is not None and args.probe not in ("gan", "gentrain"):
+        ap.error("--variant applies to the 'gan'/'gentrain' probes only")
     if args.probe == "sampling":
         probe_sampling(args.part)
         return
     if args.probe == "gan":
         probe_gan(args.variant)
+        return
+    if args.probe == "gentrain":
+        probe_gentrain(args.part, args.variant)
         return
     {"pipeline": probe_pipeline, "block": probe_block,
      "mlp": probe_mlp}[args.probe]()
