@@ -478,6 +478,20 @@ class VQModel(nn.Module):
             return qz.embed(idx, si)
         return qz.embed(idx)
 
+    def soft_embed_branch(self, i, probs):
+        """``more_smooth`` mixture embedding (the original VAR recipe the
+        reference documents at var.py:219-225): a (B, l, V) code
+        distribution times the branch codebook instead of a hard lookup.
+        LFQ/BSQ has no dense codebook — unsupported, as upstream."""
+        qz = self.quantizers[i]
+        if isinstance(qz, MultiScaleLFQ):
+            raise NotImplementedError(
+                "more_smooth requires a dense VQ codebook; LFQ/BSQ has none")
+        cb = qz.codebook
+        if getattr(qz, "codebook_norm", False):
+            cb = cb / (jnp.linalg.norm(cb, axis=-1, keepdims=True) + 1e-12)
+        return probs.astype(cb.dtype) @ cb
+
     # --------------------- canonical RAR interface --------------------- #
     def encode_to_tokens(self, x) -> jnp.ndarray:
         """Image -> flat (B, P*g*g) indices at the final scale (single-scale

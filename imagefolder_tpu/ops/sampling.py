@@ -41,8 +41,12 @@ def sample_with_top_k_top_p(logits_BlV, key, top_k: int = 0, top_p: float = 0.0,
     return jax.random.categorical(key, logits, axis=-1)
 
 
-def gumbel_softmax(logits, key, tau: float = 1.0, hard: bool = False):
-    g = jax.random.gumbel(key, logits.shape)
+def gumbel_softmax(logits, key, tau: float = 1.0, hard: bool = False, g=None):
+    """Gumbel-softmax (helpers.py:25-40). ``g`` injects explicit gumbel
+    noise (golden tests share it with the torch reference); otherwise it is
+    drawn from ``key``."""
+    if g is None:
+        g = jax.random.gumbel(key, logits.shape)
     y = jax.nn.softmax((logits + g) / tau, axis=-1)
     if hard:
         idx = jnp.argmax(y, axis=-1)

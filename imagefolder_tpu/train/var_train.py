@@ -22,7 +22,7 @@ import optax
 from imagefolder_tpu.models import build_vae_var
 from imagefolder_tpu.models.tokenizer import ModelArgs, VQModel
 from imagefolder_tpu.models.var import VAR, VARConfig
-from imagefolder_tpu.ops.sampling import sample_with_top_k_top_p
+from imagefolder_tpu.ops.sampling import gumbel_softmax, sample_with_top_k_top_p
 from imagefolder_tpu.train.optim import (
     adamw_with_freezing,
     ema_update,
@@ -270,9 +270,16 @@ class VARTrainer:
 
 def var_sample(var: VAR, var_params, vae: VQModel, vae_params, label_B,
                key, *, cfg_scale: float = 1.5, top_k: int = 0,
-               top_p: float = 0.0, joint_sample: bool = False):
+               top_p: float = 0.0, joint_sample: bool = False,
+               more_smooth: bool = False):
     """CFG multiscale decode (var.py:145-233) -> images in [0, 1], NHWC.
-    Jit the whole call; every stage has static shapes."""
+    Jit the whole call; every stage has static shapes.
+
+    ``more_smooth`` (var.py:196-225, flag surfaced at inference.py:32)
+    replaces the hard argmax-code embedding with a gumbel-softmax-smoothed
+    code mixture per PQ branch: tau = max(0.27*(1-ratio*0.95), 0.005)
+    (mask-git schedule), logits scaled by (1+ratio) — the original VAR
+    visualization recipe the reference documents."""
     cfg = var.config
     pns = cfg.patch_nums
     s = len(pns)
@@ -289,10 +296,24 @@ def var_sample(var: VAR, var_params, vae: VQModel, vae_params, label_B,
         logits, caches = var.apply({"params": var_params}, ntm, cond, caches,
                                    method=VAR.decode_stage)
         cur_l += pn * pn
-        t = cfg_scale * si / max(s - 1, 1)
+        ratio = si / max(s - 1, 1)
+        t = cfg_scale * ratio
         logits = (1 + t) * logits[:b] - t * logits[b:]
         key, *ks = jax.random.split(key, p + 1)
-        if joint_sample and p == 2:
+        if more_smooth:
+            # gumbel-smoothed code mixtures instead of hard codes
+            gum_t = max(0.27 * (1.0 - ratio * 0.95), 0.005)
+            v = logits.shape[-1] // p
+            hs = []
+            for i in range(p):
+                sm = gumbel_softmax(
+                    logits[..., i * v:(i + 1) * v] * (1.0 + ratio),
+                    ks[i], tau=gum_t)
+                h = vae.apply({"params": vae_params}, i, sm,
+                              method=VQModel.soft_embed_branch)
+                hs.append(h.reshape(b, pn, pn, c_br))
+            idx_list = None
+        elif joint_sample and p == 2:
             # PQ joint sampling (var.py:196-209): outer product of per-branch
             # filtered distributions, one draw from the joint.
             v = logits.shape[-1] // 2
@@ -311,11 +332,12 @@ def var_sample(var: VAR, var_params, vae: VQModel, vae_params, label_B,
                                         ks[i], top_k, top_p)
                 for i in range(p)
             ]
-        hs = []
-        for i, idx in enumerate(idx_list):
-            h = vae.apply({"params": vae_params}, i, idx, si,
-                          method=VQModel.embed_branch)
-            hs.append(h.reshape(b, pn, pn, c_br))
+        if idx_list is not None:  # hard-code path (more_smooth built hs)
+            hs = []
+            for i, idx in enumerate(idx_list):
+                h = vae.apply({"params": vae_params}, i, idx, si,
+                              method=VQModel.embed_branch)
+                hs.append(h.reshape(b, pn, pn, c_br))
         h_all = jnp.concatenate(hs, axis=-1)
         f_hat, next_map = vae.apply({"params": vae_params}, si, s, f_hat, h_all,
                                     method=VQModel.get_next_autoregressive_input)

@@ -468,7 +468,7 @@ def probe_gan(variants_filter=None):
             _gan_variant(name, batch, dict(tkw), dict(mkw), key, iters)
         except Exception as e:  # e.g. B=64 OOMs at compile — keep probing
             print(f"[gan] {name:40s} FAILED: {type(e).__name__}: "
-                  f"{str(e).splitlines()[0][:120]}", flush=True)
+                  f"{(str(e).splitlines() or [''])[0][:120]}", flush=True)
         gc.collect()
 
 

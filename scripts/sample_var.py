@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--top_k", type=int, default=900)
     ap.add_argument("--top_p", type=float, default=0.96)
     ap.add_argument("--joint_sample", action="store_true")
+    ap.add_argument("--more_smooth", action="store_true",
+                    help="gumbel-softmax smoothed code mixtures "
+                         "(var.py:196-225, inference.py:32 visualization "
+                         "protocol; not for FID benchmarking)")
     ap.add_argument("--num_classes", type=int, default=1000)
     ap.add_argument("--output", default="var_samples.npz")
     ap.add_argument("--ref_npz", default=None,
@@ -63,7 +67,8 @@ def main():
     # into the HLO as constants — enormous graphs)
     sample_fn = jax.jit(lambda vp, vaep, lb, k: var_sample(
         var, vp, vae, vaep, lb, k, cfg_scale=args.cfg,
-        top_k=args.top_k, top_p=args.top_p, joint_sample=args.joint_sample))
+        top_k=args.top_k, top_p=args.top_p, joint_sample=args.joint_sample,
+        more_smooth=args.more_smooth))
 
     labels = np.tile(np.arange(args.num_classes),
                      -(-args.num_samples // args.num_classes))[:args.num_samples]

@@ -55,3 +55,37 @@ def test_top_k_top_p_filter_matches_reference():
         got_p = jax.nn.softmax(got, axis=-1)
         np.testing.assert_allclose(np.asarray(got_p), t2n(want_p),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_gumbel_softmax_more_smooth_matches_reference():
+    """The ``more_smooth`` stage math (var.py:196-225 documented recipe:
+    gumbel-softmax of (1+ratio)-scaled logits at the mask-git temperature,
+    times the codebook) vs the reference ``gumbel_softmax_with_rng``
+    (helpers.py:25-40) with shared gumbel noise."""
+    from models.helpers import gumbel_softmax_with_rng
+
+    from imagefolder_tpu.ops.sampling import gumbel_softmax
+
+    rng = np.random.default_rng(7)
+    logits = rng.normal(size=(2, 9, 32)).astype(np.float32)
+    codebook = rng.normal(size=(32, 8)).astype(np.float32)
+
+    for seed, (si, s) in zip((0, 1, 2), ((0, 10), (4, 10), (9, 10))):
+        ratio = si / (s - 1)
+        gum_t = max(0.27 * (1.0 - ratio * 0.95), 0.005)
+        t_logits = torch.tensor(logits) * (1.0 + ratio)
+
+        # reference call, seeded generator
+        want_sm = gumbel_softmax_with_rng(
+            t_logits.clone(), tau=gum_t, hard=False,
+            rng=torch.Generator().manual_seed(seed))
+        want = want_sm @ torch.tensor(codebook)
+
+        # replay the exact noise torch drew (-log Exp(1) ~ Gumbel(0,1),
+        # helpers.py:29) and inject it into the jax path
+        g = -torch.empty_like(t_logits).exponential_(
+            generator=torch.Generator().manual_seed(seed)).log()
+        sm = gumbel_softmax(jnp.asarray(logits) * (1.0 + ratio), key=None,
+                            tau=gum_t, g=jnp.asarray(g.numpy()))
+        got = np.asarray(sm) @ codebook
+        np.testing.assert_allclose(got, t2n(want), rtol=2e-4, atol=1e-5)

@@ -352,3 +352,20 @@ def test_progressive_controller_resume_roundtrip():
     c = make()
     cold = [c.step(c.stage(g, wp_it, max_it)) for g in range(kill, 80)]
     assert cold != full[kill:]
+
+
+def test_var_sampling_more_smooth():
+    """more_smooth CFG decode (var.py:196-225 recipe): gumbel-smoothed
+    code mixtures through soft_embed_branch, full pipeline smoke."""
+    margs, vae, var = _tiny_models(product_quant=2)
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (2, 6, 6, 3), minval=-1, maxval=1)
+    vae_params = vae.init(key, imgs, train=False)["params"]
+    var_params = var.init({"params": key}, jnp.asarray([0, 1]),
+                          jnp.zeros((2, var.config.L - 1, var.config.Cvae)))["params"]
+    img = var_sample(var, var_params, vae, vae_params, jnp.asarray([0, 1]),
+                     jax.random.PRNGKey(1), cfg_scale=1.5, top_k=4,
+                     more_smooth=True)
+    assert img.shape == (2, 6, 6, 3)
+    a = np.asarray(img)
+    assert np.isfinite(a).all() and a.min() >= 0.0 and a.max() <= 1.0
