@@ -15,7 +15,11 @@ __all__ = ["top_k_top_p_filter", "sample_with_top_k_top_p", "gumbel_softmax"]
 def top_k_top_p_filter(logits_BlV: jnp.ndarray, top_k: int = 0, top_p: float = 0.0):
     """Mask logits outside top-k / nucleus top-p with -inf (helpers.py:8-15)."""
     logits = logits_BlV.astype(jnp.float32)
-    if top_k > 0:
+    # clamp to the vocab size: the reference CLIs default top_k=900 assuming
+    # V=4096 (inference.py:32); small vocabularies must degrade to a no-op
+    # filter, not crash (top_k is static, so this stays shape-stable)
+    top_k = min(top_k, logits.shape[-1])
+    if 0 < top_k < logits.shape[-1]:
         kth = jnp.min(jax.lax.top_k(logits, top_k)[0], axis=-1, keepdims=True)
         logits = jnp.where(logits < kth, -jnp.inf, logits)
     if top_p > 0:

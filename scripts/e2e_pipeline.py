@@ -83,11 +83,17 @@ def write_yaml(path: Path, **kv):
 
 
 STAGE_TIMEOUT = 2400
+RESUME = False
 
 
 def run_stage(name: str, cmd: list, logdir: Path, timeout: int = 0):
     timeout = timeout or STAGE_TIMEOUT
     log = logdir / f"{name}.log"
+    ok = logdir / f"{name}.ok"
+    if RESUME and ok.exists():
+        dt = float(ok.read_text())
+        print(f"[e2e] {name}: already done ({dt:.0f}s), skipping")
+        return dt
     print(f"[e2e] {name}: {' '.join(map(str, cmd))}")
     t0 = time.time()
     with open(log, "w") as f:
@@ -102,6 +108,7 @@ def run_stage(name: str, cmd: list, logdir: Path, timeout: int = 0):
     print(f"[e2e] {name}: rc={rc} in {dt:.0f}s\n{tail}")
     if rc != 0:
         raise SystemExit(f"stage {name} failed (see {log})")
+    ok.write_text(f"{dt:.1f}")
     return dt
 
 
@@ -173,9 +180,13 @@ def main():
     ap.add_argument("--num_samples", type=int, default=32)
     ap.add_argument("--stage_timeout", type=int, default=2400,
                     help="per-stage wall clock cap, seconds")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip stages whose logs/<name>.ok stamp exists "
+                         "(artifacts from the prior run are reused)")
     args = ap.parse_args()
-    global STAGE_TIMEOUT
+    global STAGE_TIMEOUT, RESUME
     STAGE_TIMEOUT = args.stage_timeout
+    RESUME = args.resume
 
     wd = Path(args.workdir).absolute()
     ds = wd / "ds"

@@ -57,6 +57,21 @@ def test_top_k_top_p_filter_matches_reference():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_top_k_clamps_to_small_vocab():
+    """top_k larger than the vocab (the reference CLIs hard-code 900 for
+    V=4096, inference.py:32) must degrade to a no-op filter on small
+    vocabularies instead of crashing — surfaced by the e2e VAR CFG preview
+    at V=256/branch."""
+    logits = jnp.asarray(np.random.default_rng(3).normal(size=(2, 4, 16)),
+                         jnp.float32)
+    got = top_k_top_p_filter(logits, top_k=900, top_p=0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(logits),
+                               rtol=0, atol=0)
+    # still filters when k < V
+    got8 = top_k_top_p_filter(logits, top_k=8, top_p=0.0)
+    assert (np.asarray(got8) == -np.inf).sum() == 2 * 4 * 8
+
+
 def test_gumbel_softmax_more_smooth_matches_reference():
     """The ``more_smooth`` stage math (var.py:196-225 documented recipe:
     gumbel-softmax of (1+ratio)-scaled logits at the mask-git temperature,
