@@ -79,17 +79,31 @@ def build(args):
         pns, n_latent = (1, 2, 3, 4, 6, 9, 13, 18, 24, 32), 1024
     else:
         pns, n_latent = (1, 1, 2, 3, 3, 4, 5, 6, 8, 11), 121
+    lfq_kw = {}
+    if args.lfq:
+        # MSBR10P2 recipe (configs/MSBR10P2-4096.yaml, reference
+        # lookup_free_quantize.py:149-300): BSQ sign-bit codes, soft-entropy
+        # aux loss — exercises the LFQ training dynamics end-to-end
+        lfq_kw = dict(lfq=True, codebook_size=4096, codebook_embed_dim=12,
+                      codebook_l2_norm=True, soft_entropy=True,
+                      entropy_loss_ratio=0.1, scale=1.0)
+    enc_model = "vit_small_patch14_dinov2.lvd142m"
+    if args.detail_guide != "none":
+        # the shared quant_conv routes the 768-dim CLIP teacher features:
+        # detail alignment requires a vit_base encoder (xqgan_model.py:344)
+        enc_model = "vit_base_patch14_dinov2.lvd142m"
     margs = ModelArgs(
         codebook_size=4096,
         codebook_embed_dim=32,
         v_patch_nums=pns,
         enc_type="dinov2", dec_type="dinov2",
-        encoder_model="vit_small_patch14_dinov2.lvd142m",
+        encoder_model=enc_model,
         decoder_model="vit_small_patch14_dinov2.lvd142m",
-        semantic_guide="dinov2", detail_guide="none",
+        semantic_guide="dinov2", detail_guide=args.detail_guide,
         num_latent_tokens=n_latent, product_quant=2,
         abs_pos_embed=True, codebook_drop=0.1, start_drop=3,
         image_size=args.image_size, dtype_str="bfloat16",
+        **lfq_kw,
     )
     steps_per_epoch = max(args.steps // args.epochs, 1)
     tcfg = TokenizerTrainConfig(
@@ -220,6 +234,11 @@ def main():
     ap.add_argument("--out", default="soak")
     ap.add_argument("--tol", type=float, default=0.0,
                     help="max |diff| allowed in the resume overlap window")
+    ap.add_argument("--lfq", action="store_true",
+                    help="MSBR10P2-style BSQ quantizer (soft-entropy loss)")
+    ap.add_argument("--detail_guide", default="none",
+                    help="enable the CLIP detail-alignment leg (forces a "
+                         "vit_base encoder)")
     args = ap.parse_args()
 
     import jax
