@@ -25,7 +25,7 @@ def _free_port():
     return port
 
 
-@pytest.mark.timeout(300)
+@pytest.mark.timeout(900)
 def test_two_process_cpu_smoke(tmp_path):
     worker = Path(__file__).parent / "_multihost_worker.py"
     coordinator = f"localhost:{_free_port()}"
@@ -43,7 +43,7 @@ def test_two_process_cpu_smoke(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=840)
             outs.append(out)
     finally:
         for p in procs:
