@@ -58,13 +58,17 @@ BACKOFF_S = 15.0
 # Training-throughput leg (VERDICT r3 weak #2): the flagship GAN train step —
 # ViT-B PQ2 10-scale tokenizer, DinoDisc + LPIPS + frozen semantic teacher,
 # adaptive disc weight, LeCam, both optimizers in one jit — at the
-# recommended v5e recipe (B=32 + activation remat; PARITY batch-scaling
-# study). Analytic FLOPs per image, same method as FLOPS_PER_IMAGE: gen
-# enc+dec ViT-B fwd+bwd at L=378 (3x71.8 GFLOP x 2 stacks = 431), LPIPS
-# fwd+bwd ~60, adaptive-weight head vjp (LPIPS+disc re-run) ~50, DinoDisc
-# real+fake fwd+bwd ~45, frozen ViT-S teacher fwd ~5, quantizer ~1.
-TRAIN_BATCH = 32
+# recommended v5e recipe (B=64 + activation remat + bf16 loss stack; PARITY
+# "GAN train-step component split" study). The bf16 loss stack matches the
+# reference's own torch.autocast default (xqgan_train.py:118,419,449,467);
+# fp32 was the conservative deviation and OOMs at B=64. Analytic FLOPs per
+# image, same method as FLOPS_PER_IMAGE: gen enc+dec ViT-B fwd+bwd at L=378
+# (3x71.8 GFLOP x 2 stacks = 431), LPIPS fwd+bwd ~60, adaptive-weight head
+# vjp (LPIPS+disc re-run) ~50, DinoDisc real+fake fwd+bwd ~45, frozen ViT-S
+# teacher fwd ~5, quantizer ~1.
+TRAIN_BATCH = 64
 TRAIN_ITERS = 4
+TRAIN_LOSS_DTYPE = "bfloat16"  # reference-autocast parity, see above
 TRAIN_FLOPS_PER_IMAGE = 592e9  # analytic estimate (+-20%), see above
 
 RESULT_TEMPLATE = {
@@ -82,7 +86,11 @@ RESULT_TEMPLATE = {
     "train_mfu": None,
     "train_unit": ("img/s/chip (flagship GAN train step: ViT-B PQ2 tokenizer"
                    " + DinoDisc + LPIPS + sem teacher, gen+disc optimizers "
-                   "in one jit, B=32, remat, bf16)"),
+                   "in one jit, B=64, remat, bf16 incl. loss stack)"),
+    "sample_img_per_sec": None,
+    "sample_mfu": None,
+    "sample_unit": ("img/s/chip (VAR-d16 PQ2 10-stage CFG decode -> images, "
+                    "B=64, bf16, flagship ViT-S tokenizer decode included)"),
 }
 
 
@@ -184,7 +192,8 @@ def _run_train():
     )
     from imagefolder_tpu.train.tokenizer_train import TokenizerTrainer
 
-    margs, tcfg = flagship_gan_recipe(TRAIN_BATCH)
+    margs, tcfg = flagship_gan_recipe(
+        TRAIN_BATCH, tcfg_overrides={"loss_dtype": TRAIN_LOSS_DTYPE})
     trainer = TokenizerTrainer(margs, tcfg)
     key = jax.random.PRNGKey(0)
     imgs = jax.random.uniform(key, (TRAIN_BATCH, 256, 256, 3),
@@ -225,6 +234,101 @@ def _run_train():
 
     dt = _with_retries("train measure", measure)
     return TRAIN_BATCH / dt, flops_box[0]
+
+
+SAMPLE_BATCH = 64
+SAMPLE_ITERS = 2
+SAMPLE_FLOPS_PER_IMAGE_ANALYTIC = 0.26e12  # see _run_sample comment
+
+
+def _run_sample(depth=16, batch=SAMPLE_BATCH, iters=SAMPLE_ITERS):
+    """VAR-d16 PQ2 10-stage CFG decode -> images (the reference's headline
+    gFID protocol path, inference.py:96-116), chained timing. Returns
+    (img_per_sec, flops_per_image or None). The non-default args exist so
+    the leg can be smoke-driven on CPU at tiny depth/batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from imagefolder_tpu.models.tokenizer import ModelArgs, VQModel
+    from imagefolder_tpu.train.var_train import build_vae_var, var_sample
+
+    margs = ModelArgs(
+        codebook_size=4096, codebook_embed_dim=32,
+        v_patch_nums=(1, 1, 2, 3, 3, 4, 5, 6, 8, 11),
+        enc_type="dinov2", dec_type="dinov2",
+        encoder_model="vit_small_patch14_dinov2.lvd142m",
+        decoder_model="vit_small_patch14_dinov2.lvd142m",
+        semantic_guide="none", detail_guide="none",
+        num_latent_tokens=121, product_quant=2, abs_pos_embed=True,
+        image_size=256, dtype_str="bfloat16")
+    vae, var = build_vae_var(margs, depth=depth, dtype_str="bfloat16")
+    key = jax.random.PRNGKey(0)
+
+    def init():
+        imgs2 = jax.random.uniform(key, (2, 256, 256, 3), minval=-1,
+                                   maxval=1)
+        vae_params = jax.jit(
+            lambda k, xx: vae.init(k, xx, train=False)["params"])(key, imgs2)
+
+        @jax.jit
+        def _var_init(k, vp, xx):  # model-only init, no optimizer transients
+            idx = vae.apply({"params": vp}, xx, method=VQModel.img_to_idxBl)
+            x_in = vae.apply({"params": vp}, idx,
+                             method=VQModel.idxBl_to_var_input)
+            label = jnp.zeros((xx.shape[0],), jnp.int32)
+            return var.init({"params": k, "sample": k, "droppath": k},
+                            label, x_in, train=False)["params"]
+
+        return vae_params, _var_init(key, vae_params, imgs2)
+
+    _log("[bench] sample leg: init")
+    vae_params, var_params = _with_retries("sample init", init)
+    labels = jnp.arange(batch, dtype=jnp.int32) % 1000
+
+    def chained(n):
+        @jax.jit
+        def fn(k):
+            def body(i, carry):
+                kk, acc = carry
+                img = var_sample(var, var_params, vae, vae_params, labels,
+                                 kk, cfg_scale=1.5, top_k=900, top_p=0.96)
+                tok = (img.ravel()[0] * 255.0).astype(jnp.int32)
+                return jax.random.fold_in(kk, tok), acc + tok
+
+            _, acc = jax.lax.fori_loop(0, n, body, (k, jnp.int32(0)))
+            return acc
+
+        return fn
+
+    short, long_ = chained(1), chained(1 + iters)
+    _with_retries("sample compile short", lambda: int(short(key)))
+    _with_retries("sample compile long", lambda: int(long_(key)))
+
+    def t(fn):
+        t0 = time.time()
+        int(fn(key))
+        return time.time() - t0
+
+    t1 = _with_retries("sample time short",
+                       lambda: min(t(short) for _ in range(3)))
+    t2 = _with_retries("sample time long",
+                       lambda: min(t(long_) for _ in range(3)))
+    dt = max(t2 - t1, 1e-9) / iters
+    # Compiler-counted FLOPs -> MFU, AFTER timing on purpose: on the axon
+    # tunnel cost_analysis issues an extra remote compile, and a wedged or
+    # crashed compile server must not cost us the already-taken timing.
+    # Fallback: analytic estimate — VAR-d16 (w=1024, 12w^2/block x 16 =
+    # 201M matmul params) x 2 FLOP/param x 286 tokens x 2 (CFG batch)
+    # = 230 G + ViT-S tokenizer decode ~25 G => ~0.26 TFLOP/img (+-30%).
+    flops = SAMPLE_FLOPS_PER_IMAGE_ANALYTIC
+    try:
+        ca = short.lower(key).cost_analysis()
+        if ca and ca.get("flops", 0) > 0:
+            flops = float(ca["flops"]) / batch
+    except Exception as e:
+        _log(f"[bench] sample cost_analysis unavailable ({e}); "
+             "using analytic estimate")
+    return batch / dt, flops
 
 
 WATCHDOG_S = 2700  # a wedged tunnel BLOCKS inside native code on the first
@@ -305,6 +409,19 @@ def main():
         except Exception as e:
             _log(traceback.format_exc())
             result["train_error"] = f"{type(e).__name__}: {e}"
+    # sampling leg: best-effort (skip with IMGF_BENCH_SKIP_SAMPLE=1)
+    if result["value"] is not None and \
+            not os.environ.get("IMGF_BENCH_SKIP_SAMPLE"):
+        deadline["t"] = time.time() + WATCHDOG_S  # fresh budget per leg
+        try:
+            sample_ips, flops_img = _run_sample()
+            result["sample_img_per_sec"] = round(sample_ips, 2)
+            if flops_img:
+                result["sample_mfu"] = round(
+                    sample_ips * flops_img / V5E_PEAK_BF16_FLOPS, 4)
+        except Exception as e:
+            _log(traceback.format_exc())
+            result["sample_error"] = f"{type(e).__name__}: {e}"
     with _PRINT_LOCK:
         done.set()
         print(json.dumps(result), flush=True)

@@ -345,8 +345,20 @@ def probe_sampling(part="all"):
         t1 = min(t(short) for _ in range(3))
         t2 = min(t(long_) for _ in range(3))
         dt = max(t2 - t1, 1e-9) / iters
-        print(f"{name:52s} {dt * 1e3:8.1f} ms/call {batch / dt:8.1f} img/s",
-              flush=True)
+        # compiler-counted FLOPs -> MFU. AFTER timing on purpose: on the
+        # axon tunnel cost_analysis issues an extra remote compile, and a
+        # wedged/crashed compile server must not cost us the measurement.
+        flops = None
+        if os.environ.get("IMGF_PERF_COSTA", "1") != "0":
+            try:
+                ca = short.lower(key).cost_analysis()
+                if ca and ca.get("flops", 0) > 0:
+                    flops = float(ca["flops"])
+            except Exception:
+                pass
+        mfu = f"  MFU {flops / dt / V5E_PEAK_BF16:.3f}" if flops else ""
+        print(f"{name:52s} {dt * 1e3:8.1f} ms/call {batch / dt:8.1f} img/s"
+              f"{mfu}", flush=True)
 
     # ---- VAR-d16 PQ2: flagship ViT-S tokenizer, 10-stage CFG decode ----
     if part in ("all", "var"):
@@ -387,7 +399,7 @@ def _probe_sampling_var(key, timed_sampling, _log):
 
     var_params = _var_init(key, vae_params, imgs2)
 
-    for b in (8, 32):
+    for b in (8, 32, 64):
         labels = jnp.arange(b, dtype=jnp.int32) % 1000
         timed_sampling(
             f"VAR-d16 PQ2 10-stage CFG sampling -> image (B={b})",
