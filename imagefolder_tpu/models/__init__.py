@@ -69,13 +69,14 @@ def build_rar(model_args: ModelArgs = None, *, seq_len: int = None,
 def build_maskgit(model_args: ModelArgs = None, *, seq_len: int = None,
                   codebook_size: int = None, hidden: int = 768,
                   depth: int = 24, heads: int = 16, num_classes: int = 1000,
-                  dtype_str: str = "float32"):
+                  dtype_str: str = "float32", arch: str = "bert"):
     """MaskGIT generator over the same token layout (reference
-    ``utils/train_utils.py`` model_type='maskgit' -> ``RAR/maskgit.py:40``)."""
+    ``utils/train_utils.py`` model_type='maskgit' -> ``RAR/maskgit.py:40``).
+    ``arch='uvit'`` selects the UViTBert variant (``RAR/maskgit.py:209``)."""
     from imagefolder_tpu.models.maskgit import MaskGIT, MaskGITConfig
 
     return MaskGIT(MaskGITConfig(
         embed_dim=hidden, depth=depth, num_heads=heads,
         image_seq_len=_rar_seq_len(seq_len, model_args),
         codebook_size=codebook_size or model_args.codebook_size,
-        condition_num_classes=num_classes, dtype_str=dtype_str))
+        condition_num_classes=num_classes, dtype_str=dtype_str, arch=arch))

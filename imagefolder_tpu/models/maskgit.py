@@ -37,6 +37,11 @@ class MaskGITConfig:
     condition_num_classes: int = 1000
     dropout: float = 0.1
     dtype_str: str = "float32"
+    # "bert" = ImageBert trunk (maskgit.py:40); "uvit" = UViTBert
+    # (maskgit.py:209-287): depth//2 in-blocks -> 1 mid-block -> depth//2
+    # out-blocks, each out-block fusing its mirrored in-block activation
+    # through a Dense on concat (U-Net skips; U-ViT, arXiv:2209.12152).
+    arch: str = "bert"
 
     @property
     def dtype(self):
@@ -88,6 +93,47 @@ class _Block(nn.Module):
         return x + h
 
 
+class _UViTBlock(nn.Module):
+    """U-ViT pre-LN block (reference ``RAR/modules/blocks.py:171-198``):
+    optional skip fusion ``x = Dense(concat(x, skip))`` then attn + MLP
+    residuals. qkv carries no bias, LayerNorm eps is the torch default."""
+
+    num_heads: int
+    mlp_ratio: float
+    dtype: jnp.dtype
+    skip: bool = False
+
+    @nn.compact
+    def __call__(self, x, skip_x=None):
+        d = x.shape[-1]
+        if self.skip:
+            x = nn.Dense(d, kernel_init=trunc_normal(0.02), dtype=self.dtype,
+                         param_dtype=jnp.float32, name="skip_linear")(
+                jnp.concatenate([x, skip_x], axis=-1))
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(
+            x.astype(jnp.float32)).astype(self.dtype)
+        qkv = nn.Dense(3 * d, use_bias=False, kernel_init=trunc_normal(0.02),
+                       dtype=self.dtype, param_dtype=jnp.float32,
+                       name="qkv")(h)
+        b, n, _ = x.shape
+        hd = d // self.num_heads
+        qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
+        from imagefolder_tpu.ops.pallas.attention import dot_product_attention
+        o = dot_product_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+        o = nn.Dense(d, kernel_init=trunc_normal(0.02), dtype=self.dtype,
+                     param_dtype=jnp.float32, name="proj")(o.reshape(b, n, d))
+        x = x + o
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(
+            x.astype(jnp.float32)).astype(self.dtype)
+        h = nn.Dense(int(d * self.mlp_ratio), kernel_init=trunc_normal(0.02),
+                     dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(h)
+        from imagefolder_tpu.ops.activations import gelu_exact
+        h = gelu_exact(h)
+        h = nn.Dense(d, kernel_init=trunc_normal(0.02), dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc2")(h)
+        return x + h
+
+
 class MaskGIT(nn.Module):
     config: MaskGITConfig
 
@@ -97,9 +143,24 @@ class MaskGIT(nn.Module):
                                      (cfg.vocab, cfg.embed_dim))
         self.pos_embed = self.param("pos_embed", trunc_normal(0.02),
                                     (1, cfg.image_seq_len + 1, cfg.embed_dim))
-        self.blocks = [_Block(cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
-                              name=f"block_{i}") for i in range(cfg.depth)]
-        self.final_norm = nn.LayerNorm(epsilon=1e-12, name="final_norm")
+        if cfg.arch == "uvit":
+            assert cfg.depth % 2 == 0, "uvit arch needs an even depth"
+            half = cfg.depth // 2
+            self.in_blocks = [
+                _UViTBlock(cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
+                           name=f"in_block_{i}") for i in range(half)]
+            self.mid_block = _UViTBlock(cfg.num_heads, cfg.mlp_ratio,
+                                        cfg.dtype, name="mid_block")
+            self.out_blocks = [
+                _UViTBlock(cfg.num_heads, cfg.mlp_ratio, cfg.dtype, skip=True,
+                           name=f"out_block_{i}") for i in range(half)]
+            self.final_norm = nn.LayerNorm(epsilon=1e-5, name="final_norm")
+        elif cfg.arch == "bert":
+            self.blocks = [_Block(cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
+                                  name=f"block_{i}") for i in range(cfg.depth)]
+            self.final_norm = nn.LayerNorm(epsilon=1e-12, name="final_norm")
+        else:
+            raise ValueError(f"unknown maskgit arch {cfg.arch!r}")
         self.lm_head = nn.Dense(cfg.codebook_size,
                                 kernel_init=linear_kaiming_uniform,
                                 param_dtype=jnp.float32, name="lm_head")
@@ -119,8 +180,17 @@ class MaskGIT(nn.Module):
         ids = jnp.concatenate([cond.reshape(b, 1), input_ids], axis=1)
         x = jnp.take(self.embeddings, ids, axis=0) + self.pos_embed
         x = x.astype(cfg.dtype)
-        for blk in self.blocks:
-            x = blk(x)
+        if cfg.arch == "uvit":
+            skips = []
+            for blk in self.in_blocks:
+                x = blk(x)
+                skips.append(x)
+            x = self.mid_block(x)
+            for blk in self.out_blocks:
+                x = blk(x, skips.pop())
+        else:
+            for blk in self.blocks:
+                x = blk(x)
         x = self.final_norm(x.astype(jnp.float32))
         return self.lm_head(x[:, 1:])
 

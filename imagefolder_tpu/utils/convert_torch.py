@@ -26,6 +26,7 @@ __all__ = [
     "convert_msvq",
     "convert_lfq",
     "convert_single_vq",
+    "convert_maskgit_uvit",
     "export_vqmodel",
     "export_rar",
     "export_var",
@@ -308,6 +309,43 @@ def convert_rar(sd: Mapping, depth: int, prefix: str = ""):
             "fc1": linear_p(sd, g(f"blocks.{i}.mlp.fc1")),
             "fc2": linear_p(sd, g(f"blocks.{i}.mlp.fc2")),
         }
+    return p
+
+
+def convert_maskgit_uvit(sd: Mapping, depth: int, prefix: str = ""):
+    """Reference UViTBert state dict (RAR/maskgit.py:209-287) ->
+    models.maskgit.MaskGIT(arch='uvit') params."""
+    g = lambda k: f"{prefix}{k}"
+
+    def ln(key):
+        return {"scale": _np(sd[f"{key}.weight"]),
+                "bias": _np(sd[f"{key}.bias"])}
+
+    def block(key, skip=False):
+        p = {
+            "norm1": ln(g(f"{key}.norm1")),
+            "norm2": ln(g(f"{key}.norm2")),
+            "qkv": linear_p(sd, g(f"{key}.attn.qkv")),
+            "proj": linear_p(sd, g(f"{key}.attn.proj")),
+            "fc1": linear_p(sd, g(f"{key}.mlp.fc1")),
+            "fc2": linear_p(sd, g(f"{key}.mlp.fc2")),
+        }
+        if skip:
+            p["skip_linear"] = linear_p(sd, g(f"{key}.skip_linear"))
+        return p
+
+    assert depth % 2 == 0, "uvit arch needs an even depth"
+    half = depth // 2
+    p = {
+        "embeddings": _np(sd[g("embeddings.weight")]),
+        "pos_embed": _np(sd[g("pos_embed")]),
+        "mid_block": block("mid_block"),
+        "final_norm": ln(g("norm")),
+        "lm_head": linear_p(sd, g("lm_head")),
+    }
+    for i in range(half):
+        p[f"in_block_{i}"] = block(f"in_blocks.{i}")
+        p[f"out_block_{i}"] = block(f"out_blocks.{i}", skip=True)
     return p
 
 

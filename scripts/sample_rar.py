@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--vq_ckpt", required=True)
     ap.add_argument("--rar_ckpt", required=True)
     ap.add_argument("--model", choices=["rar", "maskgit"], default="rar")
+    ap.add_argument("--maskgit_arch", choices=["bert", "uvit"],
+                default="bert", help="MaskGIT trunk: ImageBert or UViTBert (RAR/maskgit.py:209)")
     ap.add_argument("--guidance_decay", default="constant",
                     choices=["constant", "linear", "power-cosine"])
     ap.add_argument("--num_sample_steps", type=int, default=8,
@@ -73,7 +75,7 @@ def main():
 
         mg = build_maskgit(margs, hidden=args.hidden, depth=args.depth,
                            heads=args.heads, num_classes=args.num_classes,
-                           dtype_str="bfloat16")
+                           dtype_str="bfloat16", arch=args.maskgit_arch)
 
         def gen(p, c, k):  # python decode loop; fwd passes jitted inside
             return maskgit_generate(

@@ -114,6 +114,8 @@ def main():
     ap.add_argument("--vq_ckpt", default=None)
     ap.add_argument("--data_path", default=None)
     ap.add_argument("--model", choices=["rar", "maskgit"], default="rar")
+    ap.add_argument("--maskgit_arch", choices=["bert", "uvit"],
+                default="bert", help="MaskGIT trunk: ImageBert or UViTBert (RAR/maskgit.py:209)")
     ap.add_argument("--output", default="output/rar")
     ap.add_argument("--hidden", type=int, default=768)
     ap.add_argument("--depth", type=int, default=24)
@@ -327,7 +329,7 @@ def _train_maskgit(args, batches, seq_len, logger, tok=None, tracker=None,
     model = build_maskgit(seq_len=seq_len, codebook_size=args.codebook_size,
                           hidden=args.hidden, depth=args.depth,
                           heads=args.heads, num_classes=args.num_classes,
-                          dtype_str="bfloat16")
+                          dtype_str="bfloat16", arch=args.maskgit_arch)
     cfg = model.config
     key = jax.random.PRNGKey(0)
     toks0 = jnp.zeros((2, seq_len), jnp.int32)
