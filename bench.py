@@ -419,6 +419,10 @@ def main():
             if flops_img:
                 result["sample_mfu"] = round(
                     sample_ips * flops_img / V5E_PEAK_BF16_FLOPS, 4)
+                result["sample_flops_basis"] = (
+                    "analytic estimate (+-30%)"
+                    if flops_img == SAMPLE_FLOPS_PER_IMAGE_ANALYTIC
+                    else "xla cost_analysis")
         except Exception as e:
             _log(traceback.format_exc())
             result["sample_error"] = f"{type(e).__name__}: {e}"
