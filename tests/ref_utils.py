@@ -27,17 +27,26 @@ def ref_path():
     return REF
 
 
+def make_stub(name, **attrs):
+    """A sys.modules stub with a real ModuleSpec: importlib.util.find_spec
+    raises ValueError on in-sys.modules modules whose __spec__ is None
+    (transformers probes for a "datasets" package this way at import time,
+    so a bare ModuleType stub poisons any later `import transformers`)."""
+    import importlib.machinery
+    import types
+
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules.setdefault(name, mod)
+    return sys.modules[name]
+
+
 def stub_heavy_modules():
     """Stub timm/peft/torchvision-dependent modules so pure-torch reference
     files import offline."""
-    import types
-
-    def _stub(name, **attrs):
-        mod = types.ModuleType(name)
-        for k, v in attrs.items():
-            setattr(mod, k, v)
-        sys.modules.setdefault(name, mod)
-        return mod
+    _stub = make_stub
 
     _stub("timm")
     _stub("timm.models", create_model=lambda *a, **k: None)

@@ -3,36 +3,18 @@
 The reference module imports timm/peft/etc at module scope; we stub those
 (they're irrelevant to the pure-torch CNN classes) to obtain golden values."""
 
-import sys
-import types
-
 import numpy as np
 import torch
 
-from tests.ref_utils import nhwc, nchw, ref_path, t2n
+from tests.ref_utils import nhwc, nchw, ref_path, stub_heavy_modules, t2n
 
 ref_path()
 
 
-def _stub(name, **attrs):
-    mod = types.ModuleType(name)
-    for k, v in attrs.items():
-        setattr(mod, k, v)
-    sys.modules.setdefault(name, mod)
-    return mod
-
-
 def _import_ref_xqgan():
-    _stub("timm")
-    _stub("timm.models", create_model=lambda *a, **k: None)
-    _stub("wandb")
-    _stub("tokenizer.tokenizer_image.dino_enc")
-    _stub("tokenizer.tokenizer_image.dino_enc.dinov2",
-          DINOv2Encoder=object, DINOv2Decoder=object)
     # reference's own `datasets` package pulls torchvision (absent here);
     # only Normalize/Denormalize are referenced by xqgan_model
-    _stub("datasets", Denormalize=lambda *a, **k: (lambda x: x),
-          Normalize=lambda *a, **k: (lambda x: x))
+    stub_heavy_modules()
     import tokenizer.tokenizer_image.xqgan_model as ref_xqgan
     return ref_xqgan
 

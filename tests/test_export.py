@@ -153,9 +153,10 @@ def test_export_rar_matches_reference_layout():
         def forward(self, x):
             return self.fc2(self.act(self.fc1(x)))
 
+    from tests.ref_utils import make_stub
     for name in ("torchvision", "torchvision.models",
                  "torchvision.transforms", "timm", "timm.layers"):
-        sys.modules.setdefault(name, types.ModuleType(name))
+        make_stub(name)
     sys.modules["timm.layers"].Mlp = _Mlp
     sys.modules["timm"].layers = sys.modules["timm.layers"]
     try:

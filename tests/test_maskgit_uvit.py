@@ -8,7 +8,7 @@ import types
 import numpy as np
 import torch
 
-from tests.ref_utils import ref_path, t2n
+from tests.ref_utils import make_stub, ref_path, t2n
 
 ref_path()
 
@@ -21,18 +21,17 @@ def _load_ref_uvitbert():
     blocks = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(blocks)
 
-    modeling = types.ModuleType("modeling")
-    modules = types.ModuleType("modeling.modules")
-    base = types.ModuleType("modeling.modules.base_model")
-    base.BaseModel = torch.nn.Module
-    bm = types.ModuleType("modeling.modules.blocks")
-    bm.UViTBlock = blocks.UViTBlock
+    modeling = make_stub("modeling")
+    modules = make_stub("modeling.modules")
+    base = make_stub("modeling.modules.base_model",
+                     BaseModel=torch.nn.Module)
+    bm = make_stub("modeling.modules.blocks", UViTBlock=blocks.UViTBlock)
     sys.modules.update({
         "modeling": modeling, "modeling.modules": modules,
         "modeling.modules.base_model": base, "modeling.modules.blocks": bm,
     })
     if "omegaconf" not in sys.modules:
-        oc = types.ModuleType("omegaconf")
+        oc = make_stub("omegaconf")
 
         class OmegaConf:  # config passthrough; reference only .create()s it
             @staticmethod

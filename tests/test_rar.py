@@ -8,7 +8,7 @@ import numpy as np
 import torch
 import torch.nn as tnn
 
-from tests.ref_utils import ref_path, t2n
+from tests.ref_utils import make_stub, ref_path, t2n
 
 ref_path()
 
@@ -29,12 +29,10 @@ def _stub_rar_deps():
         def forward(self, x):
             return self.drop2(self.fc2(self.drop1(self.act(self.fc1(x)))))
 
-    m = types.ModuleType("timm.layers")
-    m.Mlp = TorchMlp
-    sys.modules.setdefault("timm", types.ModuleType("timm"))
+    make_stub("timm")
+    m = make_stub("timm.layers", Mlp=TorchMlp)
     sys.modules["timm.layers"] = m
-    rm = types.ModuleType("RAR.modules")
-    rm.BaseModel = tnn.Module
+    rm = make_stub("RAR.modules", BaseModel=tnn.Module)
     sys.modules["RAR.modules"] = rm
 
 

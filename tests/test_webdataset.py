@@ -13,7 +13,7 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-from tests.ref_utils import ref_path
+from tests.ref_utils import make_stub, ref_path
 
 ref_path()
 
@@ -38,7 +38,7 @@ def _import_reference_reader():
     def _passthrough(*a, **k):
         return ("op", a, k)
 
-    wds = types.ModuleType("webdataset")
+    wds = make_stub("webdataset")
     for name in ("decode", "rename", "map", "map_dict", "select", "shuffle",
                  "batched", "ResampledShards", "SimpleShardList",
                  "tarfile_to_samples"):
@@ -66,8 +66,8 @@ def _import_reference_reader():
     wds.WebLoader = WebLoader
     sys.modules["webdataset"] = wds
 
-    tv = types.ModuleType("torchvision")
-    tr = types.ModuleType("torchvision.transforms")
+    tv = make_stub("torchvision")
+    tr = make_stub("torchvision.transforms")
     for name in ("Resize", "RandomCrop", "CenterCrop",
                  "RandomHorizontalFlip", "ToTensor", "Normalize", "Compose"):
         setattr(tr, name, _passthrough)
