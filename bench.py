@@ -90,7 +90,8 @@ RESULT_TEMPLATE = {
     "sample_img_per_sec": None,
     "sample_mfu": None,
     "sample_unit": ("img/s/chip (VAR-d16 PQ2 10-stage CFG decode -> images, "
-                    "B=64, bf16, flagship ViT-S tokenizer decode included)"),
+                    "B=64, bf16, ViT-S tokenizer decode included; per-call "
+                    "timing minus measured RPC floor)"),
 }
 
 
@@ -285,35 +286,40 @@ def _run_sample(depth=16, batch=SAMPLE_BATCH, iters=SAMPLE_ITERS):
     vae_params, var_params = _with_retries("sample init", init)
     labels = jnp.arange(batch, dtype=jnp.int32) % 1000
 
-    def chained(n):
-        @jax.jit
-        def fn(k):
-            def body(i, carry):
-                kk, acc = carry
-                img = var_sample(var, var_params, vae, vae_params, labels,
-                                 kk, cfg_scale=1.5, top_k=900, top_p=0.96)
-                tok = (img.ravel()[0] * 255.0).astype(jnp.int32)
-                return jax.random.fold_in(kk, tok), acc + tok
+    # Timing method: per-call wall clock on the plain decode jit returning
+    # ONE scalar (a 4-byte readback forces completion on the async tunnel),
+    # min over repeats, minus the measured RPC floor. The fori_loop-chained
+    # method the other legs use is NOT available here: closing the chained
+    # program over the 310M-param trees bakes them into the HLO as literal
+    # constants — a GB-scale remote-compile request that crashes the
+    # tunnel's compile server after ~31 min (reproduced 4x, 2026-08-19) and
+    # constant-folds whole deterministic stages server-side. Params are
+    # therefore jit ARGUMENTS here. At B=64 the decode takes seconds, so
+    # the ~100-200 ms RPC adjustment is small.
+    @jax.jit
+    def one(vp, vaep, lb, k):
+        img = var_sample(var, vp, vae, vaep, lb, k,
+                         cfg_scale=1.5, top_k=900, top_p=0.96)
+        return (img.ravel()[0] * 255.0).astype(jnp.int32)
 
-            _, acc = jax.lax.fori_loop(0, n, body, (k, jnp.int32(0)))
-            return acc
+    floor_fn = jax.jit(
+        lambda k: jax.random.bits(k, (8,))[0].astype(jnp.int32))
 
-        return fn
-
-    short, long_ = chained(1), chained(1 + iters)
-    _with_retries("sample compile short", lambda: int(short(key)))
-    _with_retries("sample compile long", lambda: int(long_(key)))
-
-    def t(fn):
+    def t(fn, *a):
         t0 = time.time()
-        int(fn(key))
+        int(fn(*a))
         return time.time() - t0
 
-    t1 = _with_retries("sample time short",
-                       lambda: min(t(short) for _ in range(3)))
-    t2 = _with_retries("sample time long",
-                       lambda: min(t(long_) for _ in range(3)))
-    dt = max(t2 - t1, 1e-9) / iters
+    _with_retries("sample rpc floor compile", lambda: int(floor_fn(key)))
+    rpc_floor = _with_retries("sample rpc floor", lambda: min(
+        t(floor_fn, jax.random.fold_in(key, i)) for i in range(8)))
+    _log(f"[bench] sample RPC floor {rpc_floor * 1e3:.1f} ms")
+    _with_retries("sample compile",
+                  lambda: int(one(var_params, vae_params, labels, key)))
+    raw = _with_retries("sample time", lambda: min(
+        t(one, var_params, vae_params, labels, jax.random.fold_in(key, i))
+        for i in range(max(iters, 3))))
+    dt = max(raw - rpc_floor, 1e-9)
     # Compiler-counted FLOPs -> MFU, AFTER timing on purpose: on the axon
     # tunnel cost_analysis issues an extra remote compile, and a wedged or
     # crashed compile server must not cost us the already-taken timing.
@@ -322,7 +328,7 @@ def _run_sample(depth=16, batch=SAMPLE_BATCH, iters=SAMPLE_ITERS):
     # = 230 G + ViT-S tokenizer decode ~25 G => ~0.26 TFLOP/img (+-30%).
     flops = SAMPLE_FLOPS_PER_IMAGE_ANALYTIC
     try:
-        ca = short.lower(key).cost_analysis()
+        ca = one.lower(var_params, vae_params, labels, key).cost_analysis()
         if ca and ca.get("flops", 0) > 0:
             flops = float(ca["flops"]) / batch
     except Exception as e:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -305,7 +306,8 @@ def attention_qkv(qkv, heads: int, bias=None, scale: Optional[float] = None):
     """
     b, n, c3 = qkv.shape
     shared = bias is None or (bias.shape[0] == 1 and bias.shape[1] == 1)
-    if _tpu_backend() and shared:
+    if _tpu_backend() and shared \
+            and os.environ.get("IMGF_NO_PALLAS_ATTN") != "1":
         if n * n <= _SINGLE_MAX_ELEMS:
             return _attention_qkv_diff(qkv, bias, heads, scale)
         if n <= _qblk_max_l(bias):
@@ -803,7 +805,7 @@ def dot_product_attention(q, k, v, bias=None, scale=None):
     XLA-recompute VJP otherwise) and XLA elsewhere. Sequences past the
     single-block VMEM budget (512px VAR, L=2240) take the q-blocked kernels
     up to the `_QBLK_MAX_L*` caps."""
-    if _tpu_backend():
+    if _tpu_backend() and os.environ.get("IMGF_NO_PALLAS_ATTN") != "1":
         if q.shape[1] * k.shape[1] <= _SINGLE_MAX_ELEMS:
             return _fused_attention_diff(q, k, v, bias, scale)
         shared = bias is None or (bias.shape[0] == 1 and bias.shape[1] == 1)

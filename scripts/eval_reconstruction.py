@@ -93,7 +93,10 @@ def main():
         sd = torch.load(args.inception_ckpt, map_location="cpu",
                         weights_only=False)
         inception_vars = convert_inception_checkpoint(sd)
-        feat_fn = jax.jit(lambda x01: inception.apply(inception_vars, x01))
+        # params as jit args (a closed-over tree is baked into the HLO as
+        # constants — a ~95 MB remote-compile request on the tunnel)
+        _feat = jax.jit(lambda v, x01: inception.apply(v, x01))
+        feat_fn = lambda x01: _feat(inception_vars, x01)
 
     loader = make_dataloader(val, args.batch_size, margs.image_size,
                              train=False, num_epochs=1, drop_remainder=False)

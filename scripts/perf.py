@@ -34,6 +34,12 @@ HID = 3072
 ITERS = 10
 
 
+def _walltime(thunk):
+    t0 = time.time()
+    thunk()
+    return time.time() - t0
+
+
 def timed_loop(name, step, *args, iters=ITERS):
     """step: (*consts, x) -> x-shaped output; returns per-iter seconds.
     Times the (1+iters)-vs-1 chained difference with a scalar readback."""
@@ -300,65 +306,65 @@ def probe_mlp():
 # --------------------------- sampling probe --------------------------- #
 
 def probe_sampling(part="all"):
-    """Serving-path decode throughput, chained (RPC-free): VAR-d16 PQ2
-    10-stage CFG sampling to images (inference.py:96-116 equivalent) and
-    RAR-B 256-step KV-cached CFG decode to tokens (rar.py:408-456
-    equivalent, bf16 cache). Replaces the earlier python-loop 'incl RPC'
-    timings, which measured dispatch latency on top of compute.
+    """Serving-path decode throughput: VAR-d16 PQ2 10-stage CFG sampling to
+    images (inference.py:96-116 equivalent) and RAR-B 256-step KV-cached CFG
+    decode to tokens (rar.py:408-456 equivalent, bf16 cache).
 
-    The VAR chain unrolls its 10 stages per iteration — compiling the long
-    chain over the remote tunnel takes minutes, so VAR uses iters=2 and the
-    probe is splittable (``--part var`` / ``--part rar``)."""
+    Timing method: per-call wall clock on a jitted decode that returns ONE
+    scalar (4-byte readback forces device completion on the async tunnel),
+    min over repeats, minus the measured RPC floor (dispatch+readback of a
+    trivial jitted scalar program). The fori_loop-chained method the train
+    probes use is NOT available here: wrapping the 10-stage unrolled decode
+    in a chain crashes the tunnel's remote compile server after ~31 min,
+    reproduced 4x on 2026-08-19 — while the plain decode jit compiles fine.
+    The RPC floor is ~100-200 ms; at B>=32 the decode takes seconds, so the
+    adjustment is small and reported. Probe is splittable (``--part var`` /
+    ``--part rar``)."""
     key = jax.random.PRNGKey(0)
 
     def _log(msg):
         print(msg, file=sys.stderr, flush=True)
 
-    def timed_sampling(name, sample_fn, batch, iters=3):
-        # sample_fn(key) -> array; iterations chain by folding a sampled
-        # value back into the key so XLA cannot hoist or parallelize them.
-        def chained(n):
-            @jax.jit
-            def fn(k):
-                def body(i, carry):
-                    kk, acc = carry
-                    out = sample_fn(kk)
-                    tok = out.ravel()[0].astype(jnp.int32)
-                    return jax.random.fold_in(kk, tok), acc + tok
+    # RPC floor: trivial program, same dispatch + 4-byte readback path
+    floor_fn = jax.jit(lambda k: jax.random.bits(k, (8,))[0].astype(jnp.int32))
+    int(floor_fn(key))  # compile
+    rpc_floor = min(
+        _walltime(lambda: int(floor_fn(jax.random.fold_in(key, i))))
+        for i in range(8))
+    _log(f"[sampling] RPC floor {rpc_floor * 1e3:.1f} ms")
 
-                _, acc = jax.lax.fori_loop(0, n, body, (k, jnp.int32(0)))
-                return acc
+    def timed_sampling(name, sample_fn, batch, args=(), reps=5):
+        # sample_fn(*args, key) -> array; reduce to one scalar inside the
+        # jit so the per-call readback is 4 bytes. Params MUST ride in
+        # ``args``, never a closure: a closed-over param tree is baked into
+        # the HLO as literal constants — a GB-scale remote-compile request
+        # on this tunnel (the very crash the method note above describes)
+        # plus whole deterministic stages constant-folded at compile time.
+        @jax.jit
+        def one(*a):
+            out = sample_fn(*a)
+            return out.ravel()[0].astype(jnp.int32)
 
-            return fn
-
-        short, long_ = chained(1), chained(1 + iters)
-        _log(f"[sampling] compiling {name} (short)")
-        int(short(key))
-        _log(f"[sampling] compiling {name} (long, {1 + iters} iters)")
-        int(long_(key))
-
-        def t(fn):
-            t0 = time.time()
-            int(fn(key))
-            return time.time() - t0
-
-        t1 = min(t(short) for _ in range(3))
-        t2 = min(t(long_) for _ in range(3))
-        dt = max(t2 - t1, 1e-9) / iters
+        _log(f"[sampling] compiling {name}")
+        int(one(*args, key))
+        raw = min(
+            _walltime(lambda: int(one(*args, jax.random.fold_in(key, i))))
+            for i in range(reps))
+        dt = max(raw - rpc_floor, 1e-9)
         # compiler-counted FLOPs -> MFU. AFTER timing on purpose: on the
         # axon tunnel cost_analysis issues an extra remote compile, and a
         # wedged/crashed compile server must not cost us the measurement.
         flops = None
         if os.environ.get("IMGF_PERF_COSTA", "1") != "0":
             try:
-                ca = short.lower(key).cost_analysis()
+                ca = one.lower(*args, key).cost_analysis()
                 if ca and ca.get("flops", 0) > 0:
                     flops = float(ca["flops"])
             except Exception:
                 pass
         mfu = f"  MFU {flops / dt / V5E_PEAK_BF16:.3f}" if flops else ""
         print(f"{name:52s} {dt * 1e3:8.1f} ms/call {batch / dt:8.1f} img/s"
-              f"{mfu}", flush=True)
+              f" (raw {raw * 1e3:.1f} ms incl RPC){mfu}", flush=True)
 
     # ---- VAR-d16 PQ2: flagship ViT-S tokenizer, 10-stage CFG decode ----
     if part in ("all", "var"):
@@ -403,10 +409,10 @@ def _probe_sampling_var(key, timed_sampling, _log):
         labels = jnp.arange(b, dtype=jnp.int32) % 1000
         timed_sampling(
             f"VAR-d16 PQ2 10-stage CFG sampling -> image (B={b})",
-            lambda k, lb=labels: var_sample(
-                var, var_params, vae, vae_params, lb, k,
+            lambda vp, vaep, lb, k: var_sample(
+                var, vp, vae, vaep, lb, k,
                 cfg_scale=1.5, top_k=900, top_p=0.96) * 255.0,
-            b, iters=2)
+            b, args=(var_params, vae_params, labels))
 
 
 def _probe_sampling_rar(key, timed_sampling, _log):
@@ -428,11 +434,11 @@ def _probe_sampling_rar(key, timed_sampling, _log):
         cond = jnp.arange(b, dtype=jnp.int32) % 1000
         timed_sampling(
             f"RAR-B 256-step CFG decode -> tokens (B={b}, bf16 KV)",
-            lambda k, c=cond: rar_generate(
-                rar, rar_params, c, k, guidance_scale=16.0,
+            lambda p, c, k: rar_generate(
+                rar, p, c, k, guidance_scale=16.0,
                 randomize_temperature=1.02, guidance_scale_pow=2.75,
                 cache_dtype=rcfg.dtype),
-            b)
+            b, args=(rar_params, cond))
 
 
 def probe_gan(variants_filter=None):

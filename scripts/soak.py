@@ -33,8 +33,8 @@ import numpy as np
 
 METRIC_KEYS = [
     "gen_loss", "disc_loss", "rec_loss", "perceptual_loss", "gen_adv_loss",
-    "vq_loss", "commit_loss", "sem_loss", "codebook_usage", "disc_weight",
-    "disc_adaptive_weight", "logits_real", "logits_fake",
+    "vq_loss", "commit_loss", "entropy_loss", "sem_loss", "codebook_usage",
+    "disc_weight", "disc_adaptive_weight", "logits_real", "logits_fake",
 ]
 
 
@@ -79,22 +79,21 @@ def build(args):
         pns, n_latent = (1, 2, 3, 4, 6, 9, 13, 18, 24, 32), 1024
     else:
         pns, n_latent = (1, 1, 2, 3, 3, 4, 5, 6, 8, 11), 121
-    lfq_kw = {}
+    quant_kw = dict(codebook_size=4096, codebook_embed_dim=32)
     if args.lfq:
         # MSBR10P2 recipe (configs/MSBR10P2-4096.yaml, reference
-        # lookup_free_quantize.py:149-300): BSQ sign-bit codes, soft-entropy
-        # aux loss — exercises the LFQ training dynamics end-to-end
-        lfq_kw = dict(lfq=True, codebook_size=4096, codebook_embed_dim=12,
-                      codebook_l2_norm=True, soft_entropy=True,
-                      entropy_loss_ratio=0.1, scale=1.0)
+        # lookup_free_quantize.py:149-300): BSQ sign-bit codes (2^12 = 4096,
+        # 12-dim), soft-entropy aux loss — exercises the LFQ training
+        # dynamics end-to-end
+        quant_kw = dict(lfq=True, codebook_size=4096, codebook_embed_dim=12,
+                        codebook_l2_norm=True, soft_entropy=True,
+                        entropy_loss_ratio=0.1, scale=1.0)
     enc_model = "vit_small_patch14_dinov2.lvd142m"
     if args.detail_guide != "none":
         # the shared quant_conv routes the 768-dim CLIP teacher features:
         # detail alignment requires a vit_base encoder (xqgan_model.py:344)
         enc_model = "vit_base_patch14_dinov2.lvd142m"
     margs = ModelArgs(
-        codebook_size=4096,
-        codebook_embed_dim=32,
         v_patch_nums=pns,
         enc_type="dinov2", dec_type="dinov2",
         encoder_model=enc_model,
@@ -103,7 +102,7 @@ def build(args):
         num_latent_tokens=n_latent, product_quant=2,
         abs_pos_embed=True, codebook_drop=0.1, start_drop=3,
         image_size=args.image_size, dtype_str="bfloat16",
-        **lfq_kw,
+        **quant_kw,
     )
     steps_per_epoch = max(args.steps // args.epochs, 1)
     tcfg = TokenizerTrainConfig(
