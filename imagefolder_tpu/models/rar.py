@@ -309,9 +309,17 @@ def ar_loss(logits, labels):
 
 def rar_generate(rar: RAR, params, condition, key, *, guidance_scale: float,
                  randomize_temperature: float, guidance_scale_pow: float,
-                 cache_dtype=jnp.float32):
-    """KV-cached CFG sampling (rar.py:408-456) as one lax.fori_loop —
-    jit the whole call. Returns (B, image_seq_len) token ids."""
+                 cache_dtype=jnp.float32, decode_chunk: int | None = 64):
+    """KV-cached CFG sampling (rar.py:408-456) as lax.fori_loops —
+    jit the whole call. Returns (B, image_seq_len) token ids.
+
+    ``decode_chunk`` grows the KV cache in chunks instead of preallocating
+    full length: with a static full-length cache every step re-reads all
+    Lmax positions from HBM (at B=64 CFG that is ~3.2 GB/step across 24
+    blocks — measured ~67% of the decode). Chunked growth (one fori_loop
+    per cache length, zero-pad between) cuts the average attended length
+    from Lmax to ~0.6*Lmax. Attention math is unchanged (padded positions
+    are -inf-masked exactly); None restores the single-loop behavior."""
     cfg = rar.config
     b = condition.shape[0]
     cond = rar.apply({"params": params}, condition,
@@ -325,8 +333,15 @@ def rar_generate(rar: RAR, params, condition, key, *, guidance_scale: float,
     bb = cond_full.shape[0]
     lmax = cfg.image_seq_len + 2
     hd = cfg.embed_dim // cfg.num_heads
-    caches = [(jnp.zeros((bb, lmax, cfg.num_heads, hd), cache_dtype),
-               jnp.zeros((bb, lmax, cfg.num_heads, hd), cache_dtype))
+    if decode_chunk:
+        lbs, lb = [], 0
+        while lb < lmax:
+            lb = min(lb + max(decode_chunk, 4), lmax)
+            lbs.append(lb)
+    else:
+        lbs = [lmax]
+    caches = [(jnp.zeros((bb, lbs[0], cfg.num_heads, hd), cache_dtype),
+               jnp.zeros((bb, lbs[0], cfg.num_heads, hd), cache_dtype))
               for _ in range(cfg.depth)]
 
     # prefill [cls, cond]
@@ -360,9 +375,23 @@ def rar_generate(rar: RAR, params, condition, key, *, guidance_scale: float,
 
     ids0 = jnp.zeros((b, cfg.image_seq_len), jnp.int32)
     carry = (caches, logits, ids0, key)
-    # steps 0..L-2 feed the sampled token back; final step L-1 only samples
-    caches, logits, ids, key = jax.lax.fori_loop(
-        0, cfg.image_seq_len - 1, body, carry)
+    # steps 0..L-2 feed the sampled token back; final step L-1 only samples.
+    # step i writes cache position i+2, so a bucket of length lb covers
+    # steps up to lb-3 inclusive; pad the caches up to the next bucket.
+    cur = 0
+    for bi, lb in enumerate(lbs):
+        hi = min(lb - 2, cfg.image_seq_len - 1)
+        if hi > cur:
+            carry = jax.lax.fori_loop(cur, hi, body, carry)
+            cur = hi
+        if bi + 1 < len(lbs):
+            cs, lg_c, ids_c, k_c = carry
+            pad = lbs[bi + 1] - lb
+            cs = [(jnp.pad(ck, ((0, 0), (0, pad), (0, 0), (0, 0))),
+                   jnp.pad(cv, ((0, 0), (0, pad), (0, 0), (0, 0))))
+                  for ck, cv in cs]
+            carry = (cs, lg_c, ids_c, k_c)
+    caches, logits, ids, key = carry
     last_step = cfg.image_seq_len - 1
     lg = cfg_mix(logits, last_step) if use_cfg else logits
     key, ks = jax.random.split(key)

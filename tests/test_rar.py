@@ -159,6 +159,23 @@ def test_rar_generate_and_loss():
     assert np.isfinite(float(loss)) and 0 <= float(acc) <= 1
 
 
+def test_rar_generate_chunked_cache_invariant():
+    """Chunked KV-cache growth (decode_chunk) is exact: -inf-masked padded
+    positions contribute nothing, so the decode trajectory matches the
+    single full-length-cache loop. Near-argmax temperature makes the
+    token stream deterministic for the comparison."""
+    _, mine, params, cfg = _models(seq=8)
+    cond = jnp.asarray([0, 5])
+    kw = dict(guidance_scale=4.0, randomize_temperature=1e-4,
+              guidance_scale_pow=2.5)
+    ids_full = rar_generate(mine, params, cond, jax.random.PRNGKey(0),
+                            decode_chunk=None, **kw)
+    ids_chunk = rar_generate(mine, params, cond, jax.random.PRNGKey(0),
+                             decode_chunk=4, **kw)
+    np.testing.assert_array_equal(np.asarray(ids_full),
+                                  np.asarray(ids_chunk))
+
+
 def test_ema_decay_schedule_golden():
     """Decay trajectory + EMA values vs the reference open-muse EMAModel
     (RAR/modules/ema_model.py:18-126), both the default (1+s)/(10+s) ramp
