@@ -305,7 +305,7 @@ def probe_mlp():
 
 # --------------------------- sampling probe --------------------------- #
 
-def probe_sampling(part="all"):
+def probe_sampling(part="all", batches=None):
     """Serving-path decode throughput: VAR-d16 PQ2 10-stage CFG sampling to
     images (inference.py:96-116 equivalent) and RAR-B 256-step KV-cached CFG
     decode to tokens (rar.py:408-456 equivalent, bf16 cache).
@@ -368,12 +368,12 @@ def probe_sampling(part="all"):
 
     # ---- VAR-d16 PQ2: flagship ViT-S tokenizer, 10-stage CFG decode ----
     if part in ("all", "var"):
-        _probe_sampling_var(key, timed_sampling, _log)
+        _probe_sampling_var(key, timed_sampling, _log, batches or (8, 32, 64))
     if part in ("all", "rar"):
-        _probe_sampling_rar(key, timed_sampling, _log)
+        _probe_sampling_rar(key, timed_sampling, _log, batches or (8, 64))
 
 
-def _probe_sampling_var(key, timed_sampling, _log):
+def _probe_sampling_var(key, timed_sampling, _log, batches=(8, 32, 64)):
     from imagefolder_tpu.models.tokenizer import ModelArgs, VQModel
     from imagefolder_tpu.train.var_train import build_vae_var, var_sample
 
@@ -405,7 +405,7 @@ def _probe_sampling_var(key, timed_sampling, _log):
 
     var_params = _var_init(key, vae_params, imgs2)
 
-    for b in (8, 32, 64):
+    for b in batches:
         labels = jnp.arange(b, dtype=jnp.int32) % 1000
         timed_sampling(
             f"VAR-d16 PQ2 10-stage CFG sampling -> image (B={b})",
@@ -415,7 +415,7 @@ def _probe_sampling_var(key, timed_sampling, _log):
             b, args=(var_params, vae_params, labels))
 
 
-def _probe_sampling_rar(key, timed_sampling, _log):
+def _probe_sampling_rar(key, timed_sampling, _log, batches=(8, 64)):
     from imagefolder_tpu.models.rar import RAR, RARConfig, rar_generate
 
     rcfg = RARConfig(embed_dim=768, depth=24, num_heads=16, mlp_ratio=4.0,
@@ -430,7 +430,7 @@ def _probe_sampling_rar(key, timed_sampling, _log):
         {"params": k}, t, l + rcfg.codebook_size + 1)["params"])(
             key, tok2, jnp.zeros((2,), jnp.int32))
 
-    for b in (8, 64):
+    for b in batches:
         cond = jnp.arange(b, dtype=jnp.int32) % 1000
         timed_sampling(
             f"RAR-B 256-step CFG decode -> tokens (B={b}, bf16 KV)",
@@ -677,13 +677,20 @@ def main():
     ap.add_argument("--variant", default=None,
                     help="gan/gentrain probes only: substring filter on "
                          "variant names")
+    ap.add_argument("--batches", default=None,
+                    help="sampling probe only: comma-separated batch sizes "
+                         "overriding the study defaults (e.g. 128)")
     args = ap.parse_args()
+    if args.batches is not None and args.probe != "sampling":
+        ap.error("--batches applies to the 'sampling' probe only")
     if args.part != "all" and args.probe not in ("sampling", "gentrain"):
         ap.error("--part applies to the 'sampling'/'gentrain' probes only")
     if args.variant is not None and args.probe not in ("gan", "gentrain"):
         ap.error("--variant applies to the 'gan'/'gentrain' probes only")
     if args.probe == "sampling":
-        probe_sampling(args.part)
+        batches = (tuple(int(b) for b in args.batches.split(","))
+                   if args.batches else None)
+        probe_sampling(args.part, batches)
         return
     if args.probe == "gan":
         probe_gan(args.variant)
